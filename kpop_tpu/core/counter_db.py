@@ -1,0 +1,624 @@
+"""Spectrum database: the ``KPopCountDB`` capability.
+
+TPU-first re-design of the reference's ``KMerDB`` (lib/KMerDB.ml): the store
+is one contiguous ``[n_rows(kmers), n_cols(samples)]`` int32 matrix (the
+reference keeps one int32 Bigarray per spectrum, lib/KMerDB.ml:33-62) plus
+name tables and string metadata.  All per-cell loops become vectorized numpy
+/ JAX array ops.
+
+Capabilities mapped from the reference:
+
+- ingest text spectra / metadata     add_files / add_meta   (lib/KMerDB.ml:433-575)
+- regexp selection engine            selected_from_regexps  (:577-613)
+- combine spectra (mean/median)      add_combined_selected  (:615-736)
+- split into class representatives   split_spectra          (:787-810)
+- k-mer distillation                 distill_kmers          (:816-976)
+- transformed table/spectra export   to_table / to_spectra  (:978-1239)
+- raw-spectrum distances             to_distances           (:1240-1278)
+- binary round-trip                  to_binary / of_binary  (:389-430)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import IO, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..io import framed
+from ..io import spectra as spectra_io
+from ..utils.naming import (
+    COUNTER_BIN_EXT,
+    COUNTER_TABLE_EXT,
+    close_if_owned,
+    open_in,
+    open_in_bin,
+    open_out,
+    open_out_bin,
+    with_ext,
+)
+from ..utils.quoting import strip_external_quotes_and_check
+from .matrix import MatrixType, NamedMatrix
+from .transforms import StatsTable, Transformation, apply_transform, stats_table
+
+BINARY_TAG = "KPopCounter"
+
+
+class WrongNumberOfColumns(ValueError):
+    pass
+
+
+class ClassesLabelNotFound(KeyError):
+    pass
+
+
+class ClassLabelIsAlsoSpectrumName(ValueError):
+    pass
+
+
+class InvalidNumberOfClasses(ValueError):
+    pass
+
+
+class UnknownCombinationCriterion(ValueError):
+    pass
+
+
+@dataclass
+class TableFilter:
+    """Export filter (reference ``KMerDB.TableFilter``, lib/KMerDB.ml:978-999)."""
+
+    print_row_names: bool = True
+    print_col_names: bool = True
+    print_metadata: bool = False
+    transpose: bool = False
+    transform: Transformation = field(default_factory=Transformation)
+    print_zero_rows: bool = False
+    filter_columns: frozenset = frozenset()
+    precision: int = 15
+
+
+@dataclass
+class CounterDB:
+    row_names: List[str] = field(default_factory=list)  # k-mer hex labels
+    col_names: List[str] = field(default_factory=list)  # sample labels
+    meta_names: List[str] = field(default_factory=list)
+    # meta[col][meta_idx] -> string value
+    meta: List[List[str]] = field(default_factory=list)
+    counts: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), dtype=np.int32)
+    )  # [n_rows, n_cols]
+
+    _row_idx: Dict[str, int] = field(default_factory=dict, repr=False)
+    _col_idx: Dict[str, int] = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        self._row_idx = {n: i for i, n in enumerate(self.row_names)}
+        self._col_idx = {n: i for i, n in enumerate(self.col_names)}
+
+    # ---------------- shape ----------------
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.row_names)
+
+    @property
+    def n_cols(self) -> int:
+        return len(self.col_names)
+
+    @property
+    def n_meta(self) -> int:
+        return len(self.meta_names)
+
+    def summary_lines(self, verbose: bool = False) -> List[str]:
+        """Reference ``output_summary`` (lib/KMerDB.ml:291-314)."""
+        out = [
+            "[Spectrum labels (%d)]:%s"
+            % (self.n_cols, "".join(" '%s'" % s for s in self.col_names))
+        ]
+        if verbose:
+            out.append(
+                "[K-mer hashes (%d)]:%s"
+                % (self.n_rows, "".join(" '%s'" % s for s in self.row_names))
+            )
+        out.append(
+            "[Meta-data fields (%d)]:%s"
+            % (self.n_meta, "".join(" '%s'" % s for s in self.meta_names))
+        )
+        return out
+
+    # ---------------- growth ----------------
+
+    def _ensure_col(self, label: str) -> int:
+        idx = self._col_idx.get(label)
+        if idx is not None:
+            return idx
+        idx = self.n_cols
+        self._col_idx[label] = idx
+        self.col_names.append(label)
+        self.meta.append([""] * self.n_meta)
+        self.counts = np.concatenate(
+            [self.counts, np.zeros((self.n_rows, 1), dtype=self.counts.dtype)],
+            axis=1,
+        )
+        return idx
+
+    def _ensure_rows(self, labels: Sequence[str]) -> np.ndarray:
+        """Vectorized row creation; returns indices for ``labels``."""
+        new = [l for l in labels if l not in self._row_idx]
+        if new:
+            seen = set()
+            fresh = []
+            for l in new:
+                if l not in seen:
+                    seen.add(l)
+                    fresh.append(l)
+            base = self.n_rows
+            for i, l in enumerate(fresh):
+                self._row_idx[l] = base + i
+            self.row_names.extend(fresh)
+            self.counts = np.concatenate(
+                [
+                    self.counts,
+                    np.zeros((len(fresh), self.n_cols), dtype=self.counts.dtype),
+                ],
+                axis=0,
+            )
+        return np.array([self._row_idx[l] for l in labels], dtype=np.int64)
+
+    # ---------------- ingest ----------------
+
+    def add_spectra_stream(self, f: IO[str]) -> int:
+        """Parse a ``.KPopSpectra.txt`` stream into the DB (accumulating
+        duplicates, lib/KMerDB.ml:561-562).  Returns #spectra read."""
+        n = 0
+        for label, entries in spectra_io.iter_spectra(f):
+            col = self._ensure_col(label)
+            if entries:
+                labels = [e[0] for e in entries]
+                vals = np.array([e[1] for e in entries])
+                rows = self._ensure_rows(labels)
+                np.add.at(
+                    self.counts[:, col], rows, vals.astype(self.counts.dtype)
+                )
+            n += 1
+        return n
+
+    def add_files(self, prefixes: Sequence[str]) -> int:
+        n = 0
+        for prefix in prefixes:
+            path = spectra_io.spectra_filename(prefix)
+            f = open_in(path)
+            try:
+                n += self.add_spectra_stream(f)
+            finally:
+                close_if_owned(f, path)
+        return n
+
+    def add_meta(self, fname: str) -> None:
+        """TSV with header; first column = sample label (lib/KMerDB.ml:433-501)."""
+        f = open_in(fname)
+        try:
+            header_line = f.readline()
+            if not header_line:
+                return
+            header = [
+                strip_external_quotes_and_check(x)
+                for x in header_line.rstrip("\n").split("\t")
+            ]
+            for name in header[1:]:
+                if name not in self.meta_names:
+                    self.meta_names.append(name)
+                    for m in self.meta:
+                        m.append("")
+            meta_indices = [self.meta_names.index(n) for n in header[1:]]
+            line_num = 1
+            for line in f:
+                line_num += 1
+                parts = [
+                    strip_external_quotes_and_check(x)
+                    for x in line.rstrip("\n").split("\t")
+                ]
+                if len(parts) != len(header):
+                    raise WrongNumberOfColumns(line_num, len(parts), len(header))
+                col = self._ensure_col(parts[0])
+                for v, mi in zip(parts[1:], meta_indices):
+                    self.meta[col][mi] = v
+        finally:
+            close_if_owned(f, fname)
+
+    # ---------------- selection ----------------
+
+    def selected_from_regexps(
+        self, regexps: Sequence[Tuple[str, str]]
+    ) -> set[str]:
+        """AND-conjunction of ``field~regexp`` matchers over columns
+        (lib/KMerDB.ml:577-611).  Empty field matches the label.  Regexps are
+        anchored at the start (OCaml ``Str.string_match`` semantics); Python
+        ``re`` syntax is a documented deviation from OCaml ``Str``."""
+        compiled = [(what, re.compile(rx)) for what, rx in regexps]
+        out = set()
+        for ci, col_name in enumerate(self.col_names):
+            ok = True
+            for what, rx in compiled:
+                if what == "":
+                    subject = col_name
+                else:
+                    try:
+                        mi = self.meta_names.index(what)
+                    except ValueError:
+                        ok = False
+                        break
+                    subject = self.meta[ci][mi]
+                if rx.match(subject) is None:
+                    ok = False
+                    break
+            if ok:
+                out.add(col_name)
+        return out
+
+    def selected_negate(self, selection: set[str]) -> set[str]:
+        return set(self.col_names) - selection
+
+    def remove_selected(self, selection: set[str]) -> "CounterDB":
+        keep = [i for i, n in enumerate(self.col_names) if n not in selection]
+        return CounterDB(
+            row_names=list(self.row_names),
+            col_names=[self.col_names[i] for i in keep],
+            meta_names=list(self.meta_names),
+            meta=[list(self.meta[i]) for i in keep],
+            counts=self.counts[:, keep],
+        )
+
+    # ---------------- combination ----------------
+
+    def add_combined_selected(
+        self, new_label: str, selection: set[str], criterion: str = "mean"
+    ) -> None:
+        """Combine selected spectra into one (lib/KMerDB.ml:628-736).
+
+        Each selected column is normalized by its sum, rescaled by the
+        maximum norm, then rows are combined with a rescaled mean (=sum) or
+        median*n; the result is truncated to int32.  Metadata fields keep the
+        value iff it is shared by every selected column."""
+        if criterion not in ("mean", "median"):
+            raise UnknownCombinationCriterion(criterion)
+        col_sums = self.counts.astype(np.float64).sum(axis=0)
+        found = [self._col_idx[l] for l in sorted(selection) if l in self._col_idx]
+        max_norm = max((col_sums[c] for c in found), default=0.0)
+        ncols_found = len(found)
+        col = self._ensure_col(new_label)
+        if ncols_found:
+            sub = self.counts[:, found].astype(np.float64)
+            norms = col_sums[found]
+            ok = norms > 0
+            scaled = np.where(
+                ok[None, :], sub * (max_norm / np.where(ok, norms, 1.0))[None, :], 0.0
+            )
+            if criterion == "mean":
+                combined = scaled[:, ok].sum(axis=1)
+            else:
+                vals = scaled[:, ok]
+                if vals.shape[1] == 0:
+                    combined = np.zeros(self.n_rows)
+                else:
+                    combined = upper_median(vals, axis=1) * ncols_found
+            self.counts[:, col] = combined.astype(np.int32)  # trunc, ref :701
+        # metadata intersection (lib/KMerDB.ml:714-735)
+        if self.n_meta > 0:
+            for mi in range(self.n_meta):
+                vals = {self.meta[c][mi] for c in found}
+                self.meta[col][mi] = vals.pop() if len(vals) == 1 else ""
+
+    def indicator_vector(self, classes_label: str):
+        """(n_classes, ind_to_class, per-sample class index);
+        lib/KMerDB.ml:738-763 — class ids in order of first appearance."""
+        try:
+            mi = self.meta_names.index(classes_label)
+        except ValueError:
+            raise ClassesLabelNotFound(classes_label) from None
+        class_to_ind: Dict[str, int] = {}
+        ind_to_class: List[str] = []
+        res = np.zeros(self.n_cols, dtype=np.int64)
+        for ci in range(self.n_cols):
+            cl = self.meta[ci][mi]
+            if cl not in class_to_ind:
+                class_to_ind[cl] = len(ind_to_class)
+                ind_to_class.append(cl)
+            res[ci] = class_to_ind[cl]
+        return len(ind_to_class), ind_to_class, res
+
+    def split_spectra(self, classes_label: str, criterion: str = "mean") -> "CounterDB":
+        """Group columns by class, combine each group, drop originals
+        (lib/KMerDB.ml:787-810)."""
+        _, ind_to_class, ind = self.indicator_vector(classes_label)
+        original = set(self.col_names)
+        for class_ind, class_name in enumerate(ind_to_class):
+            if class_name in self._col_idx:
+                raise ClassLabelIsAlsoSpectrumName(class_name)
+            members = {
+                self.col_names[i] for i in range(len(ind)) if ind[i] == class_ind
+            }
+            self.add_combined_selected(class_name, members, criterion)
+        return self.remove_selected(original)
+
+    # ---------------- export ----------------
+
+    def _export_rows_cols(self, filter: TableFilter, stats: StatsTable):
+        rows = [
+            (n, i)
+            for i, n in enumerate(self.row_names)
+            if stats.row_sum[i] > 0.0 or filter.print_zero_rows
+        ]
+        cols = [
+            (n, i)
+            for i, n in enumerate(self.col_names)
+            if n not in filter.filter_columns
+        ]
+        return rows, cols
+
+    def transformed(
+        self, filter: TableFilter
+    ) -> Tuple[List[Tuple[str, int]], List[Tuple[str, int]], np.ndarray]:
+        """(rows, cols, transformed submatrix [len(rows), len(cols)])."""
+        stats = stats_table(self.counts, filter.transform)
+        rows, cols = self._export_rows_cols(filter, stats)
+        full = apply_transform(self.counts, filter.transform, stats)
+        ri = np.array([i for _, i in rows], dtype=np.int64)
+        ci = np.array([i for _, i in cols], dtype=np.int64)
+        sub = full[np.ix_(ri, ci)] if len(rows) and len(cols) else np.zeros(
+            (len(rows), len(cols))
+        )
+        return rows, cols, sub
+
+    def to_table(self, prefix: str, filter: TableFilter | None = None) -> None:
+        """Write the DB as a (possibly transposed/filtered/transformed) TSV
+        (lib/KMerDB.ml:1004-1171).  Names are unquoted in this format."""
+        filter = filter or TableFilter()
+        path = with_ext(prefix, COUNTER_TABLE_EXT)
+        rows, cols, sub = self.transformed(filter)
+        meta_rows = (
+            [(n, i) for i, n in enumerate(self.meta_names)]
+            if filter.print_metadata
+            else []
+        )
+        fmt = "%.{}g".format(filter.precision)
+        f = open_out(path)
+        try:
+            if len(meta_rows) + len(rows) == 0:
+                return
+            if filter.transpose:
+                if filter.print_col_names:
+                    names = [n for n, _ in meta_rows] + [n for n, _ in rows]
+                    lead = "\t" if filter.print_row_names else ""
+                    f.write(lead + "\t".join(names) + "\n")
+                for j, (col_name, col_idx) in enumerate(cols):
+                    parts = []
+                    if filter.print_row_names:
+                        parts.append(col_name)
+                    parts += [self.meta[col_idx][mi] for _, mi in meta_rows]
+                    parts += [fmt % v for v in sub[:, j]]
+                    f.write("\t".join(parts) + "\n")
+            else:
+                if filter.print_col_names:
+                    lead = "\t" if filter.print_row_names else ""
+                    f.write(lead + "\t".join(n for n, _ in cols) + "\n")
+                for meta_name, mi in meta_rows:
+                    parts = [meta_name] if filter.print_row_names else []
+                    parts += [self.meta[ci][mi] for _, ci in cols]
+                    f.write("\t".join(parts) + "\n")
+                for i, (row_name, _) in enumerate(rows):
+                    parts = [row_name] if filter.print_row_names else []
+                    parts += [fmt % v for v in sub[i, :]]
+                    f.write("\t".join(parts) + "\n")
+        finally:
+            close_if_owned(f, path)
+
+    def to_spectra(self, prefix: str, filter: TableFilter | None = None) -> None:
+        """Write as text spectra, dropping zero entries (lib/KMerDB.ml:1172-1239)."""
+        filter = filter or TableFilter()
+        path = spectra_io.spectra_filename(prefix)
+        rows, cols, sub = self.transformed(filter)
+        fmt = "%.{}g".format(filter.precision)
+        f = open_out(path)
+        try:
+            for j, (col_name, _) in enumerate(cols):
+                f.write("\t%s\n" % col_name)
+                vals = sub[:, j]
+                for i in np.nonzero(vals > 0)[0]:
+                    f.write("%s\t%s\n" % (rows[i][0], fmt % vals[i]))
+        finally:
+            close_if_owned(f, path)
+
+    def submatrix_normalized(
+        self, selection: set[str], normalise: bool = True
+    ) -> NamedMatrix:
+        """Selected columns as rows of a float matrix, each divided by its
+        column sum (lib/KMerDB.ml:1246-1271)."""
+        idxs = [i for i, n in enumerate(self.col_names) if n in selection]
+        sub = self.counts[:, idxs].astype(np.float64).T  # [n_sel, n_kmers]
+        if normalise:
+            norms = sub.sum(axis=1, keepdims=True)
+            norms = np.where(norms == 0.0, 1.0, norms)
+            sub = sub / norms
+        return NamedMatrix(
+            [self.col_names[i] for i in idxs], list(self.row_names), sub
+        )
+
+    # ---------------- distillation ----------------
+
+    def distill_kmers(self, classes_label: str) -> NamedMatrix:
+        """Per-k-mer discriminative-power analysis (lib/KMerDB.ml:816-976).
+
+        For every k-mer, |normalized count differences| over all sample pairs
+        are pooled into per-class-pair statistics (mean, sample variance,
+        sample CoV); their across-class-pairs means/medians, plus residuals
+        of the off-class vs on-class linear fits, form the 18-column
+        ``KPopDistill`` matrix (rows = k-mers after transposition).
+        """
+        n_classes, _, ind = self.indicator_vector(classes_label)
+        n_samples = self.n_cols
+        if n_classes == 1 or n_classes == n_samples:
+            raise InvalidNumberOfClasses(n_classes)
+        col_sums = self.counts.astype(np.float64).sum(axis=0)
+        col_sums = np.where(col_sums == 0.0, 1.0, col_sums)
+        x = self.counts.astype(np.float64) / col_sums[None, :]  # [k, s]
+        iu, ju = np.triu_indices(n_samples, k=1)
+        diffs = np.abs(x[:, iu] - x[:, ju])  # [k, n_pairs]
+        ci, cj = ind[iu], ind[ju]
+        a = np.minimum(ci, cj)
+        b = np.maximum(ci, cj)
+        pair_class = a * n_classes + b  # class-pair bucket per sample pair
+        on_diag = a * n_classes + a
+
+        nk = self.n_rows
+        stats = {}
+        for name in (
+            "avg_on", "avg_off", "var_on", "var_off", "cov_on", "cov_off"
+        ):
+            stats[name] = []
+        # bucket the sample-pair axis by class pair
+        buckets: Dict[int, np.ndarray] = {}
+        for p in np.unique(pair_class):
+            buckets[int(p)] = np.nonzero(pair_class == p)[0]
+
+        def _bucket_stats(sel: np.ndarray):
+            d = diffs[:, sel]  # [k, n_in_bucket]
+            n = d.shape[1]
+            mean = d.mean(axis=1) if n else np.zeros(nk)
+            if n >= 2:
+                var = d.var(axis=1, ddof=1)
+            else:
+                var = np.zeros(nk)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cov = np.where(mean > 0, np.sqrt(var) / mean, 0.0)
+            return mean, var, cov
+
+        on_means, on_vars, on_covs = [], [], []
+        off_means, off_vars, off_covs = [], [], []
+        for a_c in range(n_classes):
+            key = a_c * n_classes + a_c
+            sel = buckets.get(key, np.zeros(0, dtype=np.int64))
+            m, v, cv = (
+                _bucket_stats(sel) if sel.size else (np.zeros(nk),) * 3
+            )
+            on_means.append(m)
+            on_vars.append(v)
+            on_covs.append(cv)
+            for b_c in range(a_c + 1, n_classes):
+                key = a_c * n_classes + b_c
+                sel = buckets.get(key, np.zeros(0, dtype=np.int64))
+                m, v, cv = (
+                    _bucket_stats(sel) if sel.size else (np.zeros(nk),) * 3
+                )
+                off_means.append(m)
+                off_vars.append(v)
+                off_covs.append(cv)
+
+        def mm(values: List[np.ndarray]):
+            arr = np.stack(values, axis=1)  # [k, n_class_pairs]
+            return arr.mean(axis=1), upper_median(arr, axis=1)
+
+        avg_on_mean, avg_on_med = mm(on_means)
+        avg_off_mean, avg_off_med = mm(off_means)
+        var_on_mean, var_on_med = mm(on_vars)
+        var_off_mean, var_off_med = mm(off_vars)
+        cov_on_mean, cov_on_med = mm(on_covs)
+        cov_off_mean, cov_off_med = mm(off_covs)
+
+        def residuals(xv: np.ndarray, yv: np.ndarray):
+            # least-squares fit y = a + b x; residuals y - (a + b x)
+            xm, ym = xv.mean(), yv.mean()
+            den = ((xv - xm) ** 2).sum()
+            slope = ((xv - xm) * (yv - ym)).sum() / den if den > 0 else 0.0
+            inter = ym - slope * xm
+            return yv - (inter + slope * xv)
+
+        row_data = [
+            ("InnerAvgMean", avg_on_mean),
+            ("OuterAvgMean", avg_off_mean),
+            ("ResidualAvgMean", residuals(avg_on_mean, avg_off_mean)),
+            ("InnerAvgMedian", avg_on_med),
+            ("OuterAvgMedian", avg_off_med),
+            ("ResidualAvgMedian", residuals(avg_on_med, avg_off_med)),
+            ("InnerVarMean", var_on_mean),
+            ("OuterVarMean", var_off_mean),
+            ("ResidualVarMean", residuals(var_on_mean, var_off_mean)),
+            ("InnerVarMedian", var_on_med),
+            ("OuterVarMedian", var_off_med),
+            ("ResidualVarMedian", residuals(var_on_med, var_off_med)),
+            ("InnerCOVMean", cov_on_mean),
+            ("OuterCOVMean", cov_off_mean),
+            ("ResidualCOVMean", residuals(cov_on_mean, cov_off_mean)),
+            ("InnerCOVMedian", cov_on_med),
+            ("OuterCOVMedian", cov_off_med),
+            ("ResidualCOVMedian", residuals(cov_on_med, cov_off_med)),
+        ]
+        return NamedMatrix(
+            [n for n, _ in row_data],
+            list(self.row_names),
+            np.stack([d for _, d in row_data], axis=0),
+        )
+
+    def distill_to_file(self, classes_label: str, prefix: str, precision: int = 15):
+        """Write the transposed distill summary (k-mers as rows), matching
+        ``Matrix.to_file (Matrix.transpose summary)`` (lib/KMerDB.ml:976)."""
+        m = self.distill_kmers(classes_label).transpose()
+        path = MatrixType.DISTILL.table_filename(prefix)
+        f = open_out(path)
+        try:
+            m.write_text(f, precision=precision)
+        finally:
+            close_if_owned(f, path)
+
+    # ---------------- binary I/O ----------------
+
+    def to_binary(self, prefix: str) -> None:
+        path = with_ext(prefix, COUNTER_BIN_EXT)
+        f = open_out_bin(path)
+        try:
+            framed.write_header(f, BINARY_TAG)
+            framed.write_strings(f, "row_names", self.row_names)
+            framed.write_strings(f, "col_names", self.col_names)
+            framed.write_strings(f, "meta_names", self.meta_names)
+            flat_meta = [v for row in self.meta for v in row]
+            framed.write_strings(f, "meta", flat_meta)
+            framed.write_array(f, "counts", self.counts.astype(np.int32))
+            framed.write_terminator(f)
+        finally:
+            close_if_owned(f, path)
+
+    @classmethod
+    def of_binary(cls, prefix: str) -> "CounterDB":
+        path = with_ext(prefix, COUNTER_BIN_EXT)
+        f = open_in_bin(path)
+        try:
+            framed.read_header(f, expect_tag=BINARY_TAG)
+            frames = framed.read_frames(f)
+        finally:
+            close_if_owned(f, path)
+        row_names = framed.strings_of_frames(frames, "row_names")
+        col_names = framed.strings_of_frames(frames, "col_names")
+        meta_names = framed.strings_of_frames(frames, "meta_names")
+        flat_meta = framed.strings_of_frames(frames, "meta")
+        nm = len(meta_names)
+        meta = [
+            flat_meta[i * nm : (i + 1) * nm] if nm else []
+            for i in range(len(col_names))
+        ]
+        return cls(
+            row_names=row_names,
+            col_names=col_names,
+            meta_names=meta_names,
+            meta=meta,
+            counts=frames["counts"].copy(),
+        )
+
+
+def upper_median(a: np.ndarray, axis: int) -> np.ndarray:
+    """Median as the element at 0-based position n//2 of the sorted values —
+    the reference's convention throughout (e.g. lib/Matrix.ml:640-650)."""
+    s = np.sort(a, axis=axis)
+    n = a.shape[axis]
+    return np.take(s, n // 2, axis=axis)
