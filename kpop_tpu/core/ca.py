@@ -37,6 +37,7 @@ class CAResult:
     sample_coords: np.ndarray  # [n_samples, d]  principal coordinates
     inertia: np.ndarray  # [d]
     twister: np.ndarray  # [d, n_kmers]  standard row coordinates^T
+    sv: np.ndarray  # [d] singular values (row principal = standard * sv)
     dim_names: list[str]
 
     @property
@@ -97,5 +98,6 @@ def fit_ca(table: np.ndarray, n_dims: int | None = None) -> CAResult:
         sample_coords=sample_coords,
         inertia=inertia,
         twister=phi.T,
+        sv=sv,
         dim_names=dim_names,
     )

@@ -230,10 +230,11 @@ class TwistParameters:
 
 def twist_counter_db(
     db: CounterDB, params: TwistParameters | None = None
-) -> Tuple[Twister, KPopMatrix]:
+) -> Tuple[Twister, KPopMatrix, KPopMatrix]:
     """Train a twister from a counts DB: the whole ``src/KPopTwist`` pipeline
-    (export -> filter -> sample -> threshold -> normalize -> CA) fused
-    in memory.  Returns (twister, twisted sample coordinates)."""
+    (export -> filter -> sample -> threshold -> normalize -> CA) fused in
+    memory.  Returns (twister, twisted sample coordinates, twisted k-mer
+    principal coordinates — the ``-K`` output of src/KPopTwist:101-103)."""
     params = params or TwistParameters()
     filt = TableFilter(transform=params.transform)  # zero rows dropped
     rows, cols, table = db.transformed(filt)
@@ -277,4 +278,10 @@ def twist_counter_db(
         MatrixType.TWISTED,
         NamedMatrix(sample_names, res.dim_names, res.sample_coords),
     )
-    return twister, twisted
+    twisted_kmers = KPopMatrix(
+        MatrixType.TWISTED,
+        NamedMatrix(
+            kmer_names, res.dim_names, (res.twister * res.sv[:, None]).T
+        ),
+    )
+    return twister, twisted, twisted_kmers
