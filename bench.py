@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Headline benchmark: spectra/s/chip for the fused count + twist-project +
+classify pipeline on genome-length sequences.
+
+Workload modeled on the reference's SARS-CoV-2 classification run
+(BASELINE.md: ~650K sequences in ~14h on one CPU node ~= 13 seq/s, k=10,
+~1636 classes): 30 kb DNA sequences, k=10, a 256K-k-mer twister with 512
+dimensions, 512 classes.  Each timed iteration includes host int8 encoding,
+host->device transfer, window hashing, dense spectrum scatter, vocabulary
+gather, normalization, MXU projection and metric-weighted nearest-class
+classification.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup over the reference's ~13 seq/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_SEQS_PER_S = 13.0  # reference README.md:1049 (~650K seqs / 14 h)
+
+
+def main() -> None:
+    from kpop_tpu.config import jax_setup
+
+    jax = jax_setup()
+    import jax.numpy as jnp
+
+    from kpop_tpu.ops.pipeline import (
+        ClassifierParams,
+        count_spectra,
+        distances_to_classes,
+        project,
+        summarize_batch,
+    )
+
+    k = 10
+    n_codes = 4**k
+    V = 262_144  # twister vocabulary (observed k-mers)
+    d = 512  # twisted dimensions
+    C = 512  # classes
+    B = 32  # sequences per batch
+    L = 30_000  # SARS-CoV-2-scale genome length
+    n_batches = 8
+
+    rng = np.random.default_rng(0)
+    lut = np.full(n_codes + 1, V, dtype=np.int32)
+    vocab_codes = rng.choice(n_codes, size=V, replace=False)
+    lut[vocab_codes] = np.arange(V, dtype=np.int32)
+    params = ClassifierParams(
+        vocab_lut=jnp.asarray(lut),
+        twister=jnp.asarray(
+            rng.standard_normal((V, d)).astype(np.float32) * 0.01
+        ),
+        metric=jnp.asarray((lambda m: m / m.sum())(rng.random(d).astype(np.float32))),
+        class_coords=jnp.asarray(rng.standard_normal((C, d)).astype(np.float32)),
+        class_norms=jnp.asarray(np.ones(C, dtype=np.float32)),
+        k=k,
+        canonical=True,
+    )
+
+    # pre-generate raw sequence bytes (stands in for mmapped FASTA payloads)
+    seqs = [
+        rng.integers(0, 4, size=L, dtype=np.int8).tobytes() for _ in range(B)
+    ]
+    base_map = np.full(256, -1, dtype=np.int8)
+    for i in range(4):
+        base_map[i] = i
+
+    def host_encode() -> np.ndarray:
+        out = np.empty((B, L), dtype=np.int8)
+        for i, s in enumerate(seqs):
+            out[i] = base_map[np.frombuffer(s, dtype=np.uint8)]
+        return out
+
+    @jax.jit
+    def step(p, base_codes):
+        spectra = count_spectra(p, base_codes)
+        twisted = project(p, spectra)
+        dmat = distances_to_classes(p, twisted)
+        mean, std, med, mad, top, idx = summarize_batch(dmat, 2)
+        return idx, top
+
+    # warm up / compile (params travel as arguments, never as constants)
+    out = step(params, jnp.asarray(host_encode()))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        batch = host_encode()
+        out = step(params, jnp.asarray(batch))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    seqs_per_s = n_batches * B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "count+twist-project+classify throughput (30kb seqs, k=10, 256K-kmer twister, 512 dims/classes)",
+                "value": round(seqs_per_s, 1),
+                "unit": "spectra/s/chip",
+                "vs_baseline": round(seqs_per_s / BASELINE_SEQS_PER_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

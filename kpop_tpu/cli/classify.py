@@ -1,0 +1,185 @@
+"""``kpop-classify``: one-shot FASTA/FASTQ -> distance summaries.
+
+The production serving path: fuses what the reference runs as three
+processes exchanging text (``KPopCount | KPopTwistDB -k | KPopTwistDB -s``,
+reference README.md:93) into a single batched device pipeline
+(:mod:`kpop_tpu.ops.pipeline`).  Output is the identical
+``.KPopSummary.txt`` format; distances are computed on device in float32 and
+summary statistics on host in float64 over the full per-query distance row,
+preserving the reference's tie semantics.
+
+This tool is a kpop-tpu extension (the reference has no single-process
+equivalent); the multi-process pipeline above remains fully supported.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .. import __version__
+from ..core.kmers import KmerSpace
+from ..core.matrix import KPopMatrix, MatrixType
+from ..core.space import Distance, Metric, summarize_distance_row
+from ..core.twister import Twister
+from ..io.reads import FastaInput, PairedEndFastqInput, SingleEndFastqInput, iter_reads
+from ..utils.cli import ParseError, Parser
+from ..utils.naming import SUMMARY_EXT, close_if_owned, open_out, with_ext
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    state = {
+        "twister": "",
+        "targets": "",
+        "inputs": [],
+        "k": 0,
+        "content": "DNA-ds",
+        "output": "",
+        "batch": 64,
+        "keep_at_most": 2,
+        "distance": Distance.of_string("euclidean"),
+        "metric": Metric.of_string("powers(1,1,2)"),
+        "normalize": True,
+        "verbose": False,
+    }
+    p = Parser(
+        "KPopClassify",
+        "-T <twister_prefix> -t <twisted_prefix> -f <fasta> -o <summary_prefix>",
+    )
+    p.sep("Input/Output")
+    p.opt(["-T", "--twister"], "<twister_binary_prefix>",
+          ["twister used to project spectra ('.KPopTwister')"],
+          lambda a: state.update(twister=a.get()))
+    p.opt(["-t", "--targets"], "<twisted_binary_prefix>",
+          ["twisted vectors to classify against ('.KPopTwisted')"],
+          lambda a: state.update(targets=a.get()))
+    p.opt(["-f", "--fasta"], "<fasta_file_name>",
+          ["FASTA input (one spectrum per sequence)"],
+          lambda a: state["inputs"].append(FastaInput(a.get())))
+    p.opt(["-s", "--single-end"], "<fastq_file_name>",
+          ["single-end FASTQ input"],
+          lambda a: state["inputs"].append(SingleEndFastqInput(a.get())))
+
+    def add_paired(a):
+        n1, n2 = a.get(), a.get()
+        state["inputs"].append(PairedEndFastqInput(n1, n2))
+
+    p.opt(["-p", "--paired-end"], "<fastq1> <fastq2>",
+          ["paired-end FASTQ input (one spectrum per pair batch)"], add_paired)
+    p.opt(["-k", "--k-mer-size"], "<k_mer_length>",
+          ["k-mer length (must match the twister's k-mer labels)"],
+          lambda a: state.update(k=a.get_int_pos()))
+    p.opt(["-o", "--output"], "<summary_file_prefix>",
+          ["output summary prefix ('.KPopSummary.txt' unless '/dev/*')"],
+          lambda a: state.update(output=a.get()))
+    p.sep("Algorithm")
+    p.opt(["--batch"], "<positive_integer>",
+          ["sequences per device batch"],
+          lambda a: state.update(batch=a.get_int_pos()), "64")
+    p.opt(["--summary-keep-at-most"], "<positive_integer>",
+          ["closest targets kept per query (ties extend the list)"],
+          lambda a: state.update(keep_at_most=a.get_int_pos()), "2")
+    p.opt(["--distance"], "'euclidean'|'cosine'|'minkowski(p)'",
+          ["distance function"],
+          lambda a: state.update(distance=Distance.of_string(a.get())),
+          "euclidean")
+    p.opt(["--metric"], "'flat'|'powers(p,thr,q)'",
+          ["metric function"],
+          lambda a: state.update(metric=Metric.of_string(a.get())),
+          "powers(1,1,2)")
+    p.opt(["-v", "--verbose"], None, ["set verbose execution"],
+          lambda a: state.update(verbose=True))
+    p.opt(["-V", "--version"], None, ["print version and exit"],
+          lambda a: (print(__version__), sys.exit(0)))
+    p.opt(["-h", "--help"], None, ["print syntax and exit"],
+          lambda a: (p.usage(), sys.exit(0)))
+    p.parse(argv)
+
+    if not (state["twister"] and state["targets"] and state["inputs"]):
+        raise ParseError("Options '-T', '-t' and an input are mandatory")
+
+    twister = Twister.of_binary(state["twister"])
+    targets = KPopMatrix.of_binary(MatrixType.TWISTED, state["targets"])
+    k = state["k"]
+    if k == 0:
+        # infer k from the twister's hex label width (2 bases per hex digit)
+        width = len(twister.kmer_names[0])
+        for cand in range(1, 31):
+            if KmerSpace(state["content"], cand).hex_width == width:
+                k = cand
+                break
+        if state["verbose"]:
+            sys.stderr.write(f"(KPopClassify): inferred k={k}\n")
+    space = KmerSpace(state["content"], k)
+
+    from ..config import jax_setup
+
+    jax = jax_setup()
+    import jax.numpy as jnp
+
+    from ..ops.encode import encode_reads_host
+    from ..ops.pipeline import (
+        build_classifier_params,
+        count_spectra,
+        distances_to_classes,
+        project,
+    )
+
+    params = build_classifier_params(
+        space,
+        twister,
+        np.asarray(targets.matrix.data, dtype=np.float64),
+        distance=state["distance"],
+        metric=state["metric"],
+    )
+
+    @jax.jit
+    def dmat_of_batch(p, base_codes):
+        spectra = count_spectra(p, base_codes)
+        twisted = project(p, spectra)
+        return distances_to_classes(p, twisted)
+
+    out_path = with_ext(state["output"] or "/dev/stdout", SUMMARY_EXT)
+    out = open_out(out_path)
+    req_len = state["keep_at_most"]
+    col_names = targets.matrix.row_names
+    n_done = 0
+    try:
+        batch_tags: list[str] = []
+        batch_seqs: list[str] = []
+
+        def flush():
+            nonlocal n_done
+            if not batch_tags:
+                return
+            codes = encode_reads_host(batch_seqs)
+            dmat = np.asarray(
+                dmat_of_batch(params, jnp.asarray(codes)), dtype=np.float64
+            )
+            for tag, row in zip(batch_tags, dmat):
+                out.write(
+                    summarize_distance_row(req_len, tag, row, col_names) + "\n"
+                )
+            n_done += len(batch_tags)
+            if state["verbose"]:
+                sys.stderr.write(f"(KPopClassify): {n_done} sequences\r")
+            batch_tags.clear()
+            batch_seqs.clear()
+
+        for tag, segments in iter_reads(state["inputs"]):
+            batch_tags.append(tag)
+            batch_seqs.append("N".join(segments))
+            if len(batch_tags) >= state["batch"]:
+                flush()
+        flush()
+    finally:
+        close_if_owned(out, out_path)
+    if state["verbose"]:
+        sys.stderr.write(f"(KPopClassify): {n_done} sequences done.\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

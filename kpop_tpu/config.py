@@ -46,6 +46,20 @@ def jax_setup():
             jax.config.update("jax_platforms", os.environ["KPOP_PLATFORM"])
         if X64:
             jax.config.update("jax_enable_x64", True)
+        # persistent compilation cache: TPU compiles (especially through
+        # remote tunnels) are expensive and at times erratic; cache them.
+        cache_dir = os.environ.get(
+            "KPOP_JAX_CACHE", os.path.expanduser("~/.cache/kpop_jax_cache")
+        )
+        if cache_dir:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0
+                )
+            except Exception:
+                pass
         _configured = True
     return jax
 

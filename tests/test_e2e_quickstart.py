@@ -141,3 +141,31 @@ def test_metrics_output(workdir):
     assert lines[1].startswith('"metrics"')
     vals = [float(x) for x in lines[1].split("\t")[1:]]
     assert abs(sum(vals) - 1.0) < 1e-9  # normalized metric
+
+
+def test_classify_cli_matches_multiprocess_path(workdir):
+    """kpop-classify (fused device pipeline) must produce the same
+    KPopSummary as the KPopCount|twistdb -k|twistdb -s chain."""
+    k = 5
+    sh(
+        "cat clusters-small.fasta | "
+        "awk '{nr=(NR-1)%%4; if (nr==2) split($0,s,\"[>-]\"); if (nr==3) print \">\"s[2]\"-\"s[3]\"\\n\"$0}' "
+        "> test_seqs.fasta && "
+        "kpop-classify -T Classes.%d -t Classes.%d -f test_seqs.fasta -o Fused"
+        % (k, k),
+        workdir,
+    )
+    fused = sorted((workdir / "Fused.KPopSummary.txt").read_text().splitlines())
+    ref = sorted(
+        (workdir / ("Test_prediction.%d.KPopSummary.txt" % k))
+        .read_text()
+        .splitlines()
+    )
+    assert len(fused) == len(ref) == 100
+    # float32 device distances vs float64 host: compare fields numerically
+    for lf, lr in zip(fused, ref):
+        pf, pr = lf.split("\t"), lr.split("\t")
+        assert pf[0] == pr[0]
+        assert pf[5] == pr[5], f"class mismatch: {pf[0]}: {pf[5]} != {pr[5]}"
+        for a, b in zip(pf[1:5], pr[1:5]):
+            assert abs(float(a) - float(b)) < 1e-4 * max(1.0, abs(float(b)))
