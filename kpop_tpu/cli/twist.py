@@ -35,6 +35,7 @@ def main(argv=None) -> int:
         "threshold_kmers": 0.0,
         "seed": None,
         "verbose": False,
+        "backend": "host",
     }
     p = Parser(
         "KPopTwist",
@@ -70,6 +71,10 @@ def main(argv=None) -> int:
     p.opt(["--seed"], "<integer>",
           ["RNG seed for k-mer resampling (kpop-tpu extension)"],
           lambda a: state.update(seed=int(a.get())))
+    p.opt(["--backend"], "'host'|'jax'",
+          ["CA backend: float64 host numpy, or the sharded device path",
+           "(k-mer axis over the mesh; kpop-tpu extension)"],
+          lambda a: state.update(backend=a.get()), "host")
     p.sep("Input/Output")
     p.opt(["-i", "--input"], "<binary_file_prefix>",
           ["k-mer database to twist ('.KPopCounter' unless '/dev/*')"],
@@ -113,7 +118,9 @@ def main(argv=None) -> int:
         threshold_kmers=state["threshold_kmers"],
         seed=state["seed"],
     )
-    twister, twisted, twisted_kmers = twist_counter_db(db, params)
+    twister, twisted, twisted_kmers = twist_counter_db(
+        db, params, backend=state["backend"]
+    )
     twister.to_binary(state["output"])
     twisted.to_binary(state["output"])
     if state["output_kmers"]:

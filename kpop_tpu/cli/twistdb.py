@@ -69,7 +69,7 @@ def _parse_keep_at_most(a: Args):
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     program: List = []
-    meta = {"twister_loads": 0, "verbose": False}
+    meta = {"twister_loads": 0, "verbose": False, "debug_twisting": False}
 
     def act(fn, needs_twister=False):
         if needs_twister and meta["twister_loads"] == 0:
@@ -164,12 +164,18 @@ def main(argv=None) -> int:
         lambda a: (lambda fnames: act(
             lambda st: st.update(
                 twisted=st["twister"].add_twisted_from_files(
-                    st["twisted"], fnames, normalize=st["kmers_normalize"]
+                    st["twisted"],
+                    fnames,
+                    normalize=st["kmers_normalize"],
+                    debug=meta["debug_twisting"],
                 )
             ),
             needs_twister=True,
         ))(a.get().split(",")),
     )
+    # hidden: profile the three phases of spectrum projection
+    p.opt(["--debug-twisting"], None, [],
+          lambda a: meta.update(debug_twisting=True))
     p.opt(["--distance", "--distance-function"],
           "'euclidean'|'cosine'|'minkowski(<non_negative_float>)'",
           ["function used when computing distances"],

@@ -137,6 +137,7 @@ class Twister:
         self,
         entries_list: Sequence[Sequence[Tuple[str, float]]],
         normalize: bool = True,
+        debug: bool = False,
     ) -> np.ndarray:
         """Project spectra (lists of (kmer_label, count)) into twisted space.
 
@@ -145,12 +146,16 @@ class Twister:
         k-mers *found in the twister* (the reference accumulates ``acc``
         only inside the Some branch, :159-169).  Returns [n_spectra, d].
         """
+        import sys
+        import time
+
         kmer_idx = {n: i for i, n in enumerate(self.kmer_names)}
         tw = np.asarray(self.twister.matrix.data, dtype=np.float64)  # [d, K]
         d, K = tw.shape
         out = np.zeros((len(entries_list), d))
         x = np.zeros(K)
         for si, entries in enumerate(entries_list):
+            t0 = time.perf_counter() if debug else 0.0
             x.fill(0.0)
             acc = 0.0
             for name, v in entries:
@@ -158,9 +163,19 @@ class Twister:
                 if idx is not None:
                     acc += v
                     x[idx] += v
+            t1 = time.perf_counter() if debug else 0.0
             if normalize and acc != 0.0:
                 x /= acc
+            t2 = time.perf_counter() if debug else 0.0
             out[si] = tw @ x
+            if debug:
+                # phase timing of the hidden --debug-twisting flag
+                # (reference lib/Twister.ml:147,171-187)
+                t3 = time.perf_counter()
+                sys.stderr.write(
+                    "DEBUG=(lines=%d/%d/%d,%.3g,%.3g,%.3g)\n"
+                    % (len(entries), K, d, t1 - t0, t2 - t1, t3 - t2)
+                )
         return out
 
     def add_twisted_from_files(
@@ -168,6 +183,7 @@ class Twister:
         twisted: KPopMatrix,
         fnames: Sequence[str],
         normalize: bool = True,
+        debug: bool = False,
     ) -> KPopMatrix:
         """Twist spectra from ``.KPopSpectra.txt`` files and append to a
         twisted register (lib/Twister.ml:58-206).  Row order follows the
@@ -194,7 +210,7 @@ class Twister:
                     batches.append(entries)
             finally:
                 close_if_owned(f, fname)
-        projected = self.project_entries(batches, normalize=normalize)
+        projected = self.project_entries(batches, normalize=normalize, debug=debug)
         for label, row in zip(labels, projected):
             if label in rows:
                 raise DuplicateLabel(label)
@@ -229,7 +245,9 @@ class TwistParameters:
 
 
 def twist_counter_db(
-    db: CounterDB, params: TwistParameters | None = None
+    db: CounterDB,
+    params: TwistParameters | None = None,
+    backend: str = "host",
 ) -> Tuple[Twister, KPopMatrix, KPopMatrix]:
     """Train a twister from a counts DB: the whole ``src/KPopTwist`` pipeline
     (export -> filter -> sample -> threshold -> normalize -> CA) fused in
@@ -263,7 +281,25 @@ def twist_counter_db(
         csums = table.sum(axis=0)
         table = table / np.where(csums == 0.0, 1.0, csums)[None, :]
     # [8/16] twist
-    res = ca_mod.fit_ca(table)
+    if backend == "host":
+        res = ca_mod.fit_ca(table)
+    elif backend in ("jax", "tpu", "sharded"):
+        # device CA: k-mer axis sharded over the full mesh, Gram matrix
+        # psum-reduced (parallel/sharded.py)
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ca_fit_sharded
+
+        mesh = make_mesh()
+        coords, inertia, tw, sv = ca_fit_sharded(mesh, table)
+        res = ca_mod.CAResult(
+            sample_coords=coords.astype(np.float64),
+            inertia=inertia.astype(np.float64),
+            twister=tw.astype(np.float64),
+            sv=sv.astype(np.float64),
+            dim_names=["Dim%d" % (i + 1) for i in range(len(inertia))],
+        )
+    else:
+        raise ValueError(f"unknown CA backend {backend!r}")
     twister = Twister(
         KPopMatrix(
             MatrixType.TWISTER,

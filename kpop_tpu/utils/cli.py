@@ -134,12 +134,63 @@ class Parser:
         while args.pos < len(args.argv):
             opt_name = args.argv[args.pos]
             args.pos += 1
+            if opt_name == "--markdown":  # hidden help exporter
+                sys.stdout.write(markdown_help(self))
+                raise SystemExit(0)
             spec = table.get(opt_name)
             if spec is None:
                 self.usage()
                 raise ParseError(f"Unknown option '{opt_name}'")
             args.current_opt = opt_name
             spec.handler(args)
+
+
+def run(main, argv=None) -> int:
+    """Top-level CLI runner with the reference's error UX
+    (bin/KPopCountDB.ml:439-444): uncaught exceptions print a FATAL line;
+    the hidden ``-x``/``--print-exception-backtrace`` option re-raises with
+    a full traceback."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    backtrace = False
+    for flag in ("-x", "--print-exception-backtrace"):
+        while flag in argv:
+            argv.remove(flag)
+            backtrace = True
+    try:
+        return main(argv)
+    except SystemExit:
+        raise
+    except Exception as exc:
+        if backtrace:
+            raise
+        sys.stderr.write(
+            "FATAL: Uncaught exception: %s: %s\n"
+            % (type(exc).__name__, exc)
+        )
+        sys.stderr.write(
+            "Rerun with option -x to get a full backtrace.\n"
+        )
+        return 1
+
+
+def markdown_help(parser: "Parser") -> str:
+    """Markdown rendering of the option table (the reference's hidden
+    ``--markdown`` exporter, e.g. bin/KPopCount.ml:206)."""
+    out = [f"## `{parser.name}`", "", f"```\n{parser.name} {parser.synopsis}\n```", ""]
+    for spec in parser.specs:
+        if isinstance(spec, Separator):
+            text = " ".join(ln for ln in spec.lines if ln)
+            if text:
+                out.append(f"**{text}**\n")
+            out.append("| Option | Argument(s) | Effect | Note(s) |")
+            out.append("|-|-|-|-|")
+        else:
+            aliases = "<br>".join("`%s`" % a for a in spec.aliases)
+            arg = spec.arg_doc or ""
+            effect = " ".join(spec.help_lines)
+            note = f"default={spec.default_doc}" if spec.default_doc else ""
+            out.append(f"| {aliases} | {arg} | {effect} | {note} |")
+    return "\n".join(out) + "\n"
 
 
 def split_on_char(s: str, ch: str = ",") -> List[str]:

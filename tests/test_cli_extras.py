@@ -1,0 +1,128 @@
+"""CLI coverage beyond the quick start: protein/DNA-ss content, paired-end
+FASTQ, -M eviction duplicates, markdown help, error UX, jax CA backend."""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BIN = os.path.join(REPO, "bin")
+
+
+def sh(cmd: str, cwd, check=True) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env["PATH"] = BIN + os.pathsep + env["PATH"]
+    env["PYTHONPATH"] = REPO
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    res = subprocess.run(
+        ["bash", "-c", cmd], cwd=str(cwd), env=env, capture_output=True,
+        text=True,
+    )
+    if check:
+        assert res.returncode == 0, f"{cmd}\n{res.stderr[-2000:]}"
+    return res
+
+
+def test_protein_content(tmp_path):
+    (tmp_path / "p.fasta").write_text(">p1\nACDEFGHIKLMNPQRSTVWY\n")
+    out = sh(
+        "kpop-count -k 3 -C protein -l prot -f p.fasta -o /dev/stdout",
+        tmp_path,
+    ).stdout
+    lines = out.splitlines()
+    assert lines[0] == "\tprot"
+    assert len(lines) == 1 + 18  # 18 distinct 3-mers in a 20-mer
+    # labels are fixed-width hex over base-20 codes
+    assert all(len(ln.split("\t")[0]) == len(lines[1].split("\t")[0])
+               for ln in lines[1:])
+
+
+def test_dna_ss_differs_from_ds(tmp_path):
+    (tmp_path / "s.fasta").write_text(">s\nAAAATTTT\n")
+    ds = sh("kpop-count -k 4 -C DNA-ds -l x -f s.fasta -o /dev/stdout", tmp_path).stdout
+    ss = sh("kpop-count -k 4 -C DNA-ss -l x -f s.fasta -o /dev/stdout", tmp_path).stdout
+    # double-stranded canonicalization merges AAAA/TTTT
+    assert ds != ss
+    assert "\n00\t" in ds  # AAAA canonical (code 0, 2 hex digits at k=4)
+
+
+def test_paired_end_fastq(tmp_path):
+    (tmp_path / "r1.fastq").write_text("@r1\nACGTACGT\n+\nIIIIIIII\n")
+    (tmp_path / "r2.fastq").write_text("@r1\nTTTTACGT\n+\nIIIIIIII\n")
+    out = sh(
+        "kpop-count -k 4 -l pe -p r1.fastq r2.fastq -o /dev/stdout", tmp_path
+    ).stdout
+    assert out.startswith("\tpe\n")
+    assert len(out.splitlines()) > 2
+
+
+def test_max_results_size_eviction_accumulates_downstream(tmp_path):
+    # tiny -M forces dumps; duplicate hashes in the stream are legal and
+    # must accumulate when ingested (reference bin/KPopCount.ml:116-123)
+    (tmp_path / "s.fasta").write_text(">a\nACGTACGTACGT\n>b\nACGTACGTACGT\n")
+    evicted = sh(
+        "kpop-count -k 2 -M 2 -l x -f s.fasta -o /dev/stdout", tmp_path
+    ).stdout
+    normal = sh(
+        "kpop-count -k 2 -l x -f s.fasta -o /dev/stdout", tmp_path
+    ).stdout
+    assert evicted != normal  # eviction produced duplicate hash lines
+    from kpop_tpu.core.counter_db import CounterDB
+
+    db1, db2 = CounterDB(), CounterDB()
+    db1.add_spectra_stream(io.StringIO(evicted))
+    db2.add_spectra_stream(io.StringIO(normal))
+    assert db1.row_names and sorted(db1.row_names) == sorted(db2.row_names)
+    for name in db1.row_names:
+        i1 = db1.row_names.index(name)
+        i2 = db2.row_names.index(name)
+        assert db1.counts[i1, 0] == db2.counts[i2, 0]
+
+
+def test_markdown_and_error_ux(tmp_path):
+    md = sh("kpop-twistdb --markdown", tmp_path).stdout
+    assert md.startswith("## `KPopTwistDB`")
+    assert "| Option |" in md
+    res = sh("kpop-countdb -i /nonexistent", tmp_path, check=False)
+    assert res.returncode == 1
+    assert "FATAL: Uncaught exception" in res.stderr
+    res_x = sh("kpop-countdb -x -i /nonexistent", tmp_path, check=False)
+    assert "Traceback" in res_x.stderr
+
+
+def test_twist_jax_backend_matches_host(tmp_path):
+    sys.path.insert(0, REPO)
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.core.count import spectrum_of_sequences
+
+    rng = np.random.default_rng(0)
+    space = KmerSpace("DNA-ds", 5)
+    db = CounterDB()
+    for c in range(6):
+        seqs = ["".join(np.array(list("ACGT"))[rng.integers(0, 4, 200)])
+                for _ in range(2)]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        buf = "\tC%d\n" % c + "".join(
+            "%s\t%d\n" % (space.code_to_hex(cd), ct)
+            for cd, ct in zip(codes, counts))
+        db.add_spectra_stream(io.StringIO(buf))
+    db.to_binary(str(tmp_path / "DB"))
+    sh("kpop-twist -i DB -o HOST --backend host", tmp_path)
+    sh("kpop-twist -i DB -o JAX --backend jax", tmp_path)
+    from kpop_tpu.core.twister import Twister
+
+    th = Twister.of_binary(str(tmp_path / "HOST"))
+    tj = Twister.of_binary(str(tmp_path / "JAX"))
+    np.testing.assert_allclose(
+        tj.inertia.matrix.data, th.inertia.matrix.data, rtol=1e-3, atol=1e-6
+    )
+    dh = np.asarray(th.twister.matrix.data)
+    dj = np.asarray(tj.twister.matrix.data)
+    for j in range(dh.shape[0]):
+        sign = 1.0 if np.dot(dh[j], dj[j]) >= 0 else -1.0
+        np.testing.assert_allclose(dj[j], sign * dh[j], rtol=2e-2, atol=2e-4)
