@@ -47,9 +47,9 @@ def main() -> None:
     V = 262_144  # twister vocabulary (observed k-mers)
     d = 512  # twisted dimensions
     C = 512  # classes
-    B = 32  # sequences per batch
+    B = 128  # sequences per batch
     L = 30_000  # SARS-CoV-2-scale genome length
-    n_batches = 8
+    n_batches = 16
 
     rng = np.random.default_rng(0)
     lut = np.full(n_codes + 1, V, dtype=np.int32)
@@ -67,18 +67,34 @@ def main() -> None:
         canonical=True,
     )
 
-    # pre-generate raw sequence bytes (stands in for mmapped FASTA payloads)
-    seqs = [
-        rng.integers(0, 4, size=L, dtype=np.int8).tobytes() for _ in range(B)
-    ]
+    # pre-generate an in-memory FASTA payload (one batch worth); timed
+    # iterations parse + lint + encode it like real input files
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    payload = b"".join(
+        b">seq%d\n%s\n" % (i, bases[rng.integers(0, 4, size=L)].tobytes())
+        for i in range(B)
+    )
+
+    from kpop_tpu import native
+
+    use_native = native.available()
     base_map = np.full(256, -1, dtype=np.int8)
-    for i in range(4):
-        base_map[i] = i
+    for i, ch in enumerate(b"ACGT"):
+        base_map[ch] = i
 
     def host_encode() -> np.ndarray:
+        if use_native:
+            codes, _names, _lens, _consumed = native.fasta_encode_batch(
+                payload, B, L
+            )
+            return codes
         out = np.empty((B, L), dtype=np.int8)
-        for i, s in enumerate(seqs):
-            out[i] = base_map[np.frombuffer(s, dtype=np.uint8)]
+        pos = 0
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        for i in range(B):
+            pos = payload.index(b"\n", pos) + 1
+            out[i] = base_map[raw[pos : pos + L]]
+            pos += L + 1
         return out
 
     @jax.jit

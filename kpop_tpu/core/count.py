@@ -99,6 +99,34 @@ def _dump(acc: SpectrumAccumulator, out: IO[str]) -> None:
     acc.clear()
 
 
+def _native_counter(space: KmerSpace):
+    """C++ fast path: encode + rolling-code count straight into the dense
+    spectrum (kpop_tpu/native), when applicable."""
+    if space.content == "protein" or space.k > DENSE_K_MAX:
+        return None
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    canonical = space.canonical
+
+    def count_into(seq: str, dense: np.ndarray) -> None:
+        codes = native.encode_dna(
+            seq.encode() if isinstance(seq, str) else seq
+        )
+        native.get_lib().kpop_count_dense(
+            codes.ctypes.data_as(native._i8p),
+            len(codes),
+            space.k,
+            int(canonical),
+            dense.ctypes.data_as(native._i64p),
+        )
+
+    return count_into
+
+
 def count_reads(
     inputs: Sequence[ReadsInput],
     space: KmerSpace,
@@ -113,21 +141,32 @@ def count_reads(
     """
     encoder = content_encoder(space.content)
     acc = SpectrumAccumulator(space)
+    native_count = _native_counter(space)
     if label != "":
         spectra_io.write_spectrum_header(
             out, strip_external_quotes_and_check(label)
         )
     n_reads = 0
     for tag, segments in iter_reads(inputs):
-        for seq in segments:
-            acc.add(space.window_codes(encoder(seq)))
+        if native_count is not None and acc.dense is not None:
+            for seq in segments:
+                native_count(seq, acc.dense)
+        else:
+            for seq in segments:
+                acc.add(space.window_codes(encoder(seq)))
         n_reads += 1
         if label == "":
             spectra_io.write_spectrum_header(
                 out, strip_external_quotes_and_check(tag)
             )
             _dump(acc, out)
-        elif acc.n_distinct >= max_results_size:
+        elif (
+            # eviction can only trigger when the table could outgrow -M;
+            # the dense store never can if -M >= 4^k (avoids an O(4^k)
+            # distinct-count scan per read)
+            (acc.dense is None or max_results_size < acc.dense.shape[0])
+            and acc.n_distinct >= max_results_size
+        ):
             _dump(acc, out)
     if label != "":
         _dump(acc, out)

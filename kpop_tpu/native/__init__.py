@@ -1,0 +1,147 @@
+"""ctypes binding for the native host runtime (kpop_native.cpp).
+
+Builds the shared library on first use with g++ (lazy, cached next to the
+source); falls back to the pure-numpy paths if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "kpop_native.cpp")
+_LIB = os.path.join(_DIR, "libkpop_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i64 = ctypes.c_int64
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i8p = ctypes.POINTER(ctypes.c_int8)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", _LIB, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+            _SRC
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.kpop_encode_dna.restype = _i64
+        lib.kpop_encode_dna.argtypes = [_u8p, _i64, _i8p]
+        for fn in (lib.kpop_fasta_encode_batch, lib.kpop_fastq_encode_batch):
+            fn.restype = _i64
+            fn.argtypes = [
+                _u8p, _i64, _i8p, _i64, _i64, _i64p, _i64p, _i64p, _i64p,
+            ]
+        lib.kpop_count_dense.restype = None
+        lib.kpop_count_dense.argtypes = [
+            _i8p, _i64, ctypes.c_int32, ctypes.c_int32, _i64p,
+        ]
+        lib.kpop_count_dense_batch.restype = None
+        lib.kpop_count_dense_batch.argtypes = [
+            _i8p, _i64, _i64, ctypes.c_int32, ctypes.c_int32, _i64p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def encode_dna(seq: bytes) -> np.ndarray:
+    lib = get_lib()
+    out = np.empty(len(seq), dtype=np.int8)
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    m = lib.kpop_encode_dna(
+        raw.ctypes.data_as(_u8p), len(seq), out.ctypes.data_as(_i8p)
+    )
+    return out[:m]
+
+
+def fasta_encode_batch(
+    buf: bytes, max_seqs: int, max_len: int, fastq: bool = False
+):
+    """Parse+encode up to max_seqs records from a text buffer.
+
+    Returns (codes [n, max_len] int8, names list[str], seq_lens, consumed).
+    """
+    lib = get_lib()
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    codes = np.empty((max_seqs, max_len), dtype=np.int8)
+    name_off = np.empty(max_seqs, dtype=np.int64)
+    name_len = np.empty(max_seqs, dtype=np.int64)
+    seq_len = np.empty(max_seqs, dtype=np.int64)
+    consumed = _i64(0)
+    fn = lib.kpop_fastq_encode_batch if fastq else lib.kpop_fasta_encode_batch
+    n = fn(
+        raw.ctypes.data_as(_u8p),
+        len(buf),
+        codes.ctypes.data_as(_i8p),
+        max_seqs,
+        max_len,
+        name_off.ctypes.data_as(_i64p),
+        name_len.ctypes.data_as(_i64p),
+        seq_len.ctypes.data_as(_i64p),
+        ctypes.byref(consumed),
+    )
+    names = [
+        buf[name_off[i] : name_off[i] + name_len[i]].decode()
+        for i in range(n)
+    ]
+    return codes[:n], names, seq_len[:n], consumed.value
+
+
+def count_dense(codes: np.ndarray, k: int, canonical: bool) -> np.ndarray:
+    """Dense spectrum (int64[4^k]) of one encoded sequence."""
+    lib = get_lib()
+    spectrum = np.zeros(4**k, dtype=np.int64)
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    lib.kpop_count_dense(
+        codes.ctypes.data_as(_i8p), len(codes), k, int(canonical),
+        spectrum.ctypes.data_as(_i64p),
+    )
+    return spectrum
+
+
+def count_dense_batch(
+    codes: np.ndarray, k: int, canonical: bool, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Accumulate a [n, L] padded batch into one dense spectrum."""
+    lib = get_lib()
+    if out is None:
+        out = np.zeros(4**k, dtype=np.int64)
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    lib.kpop_count_dense_batch(
+        codes.ctypes.data_as(_i8p), codes.shape[0], codes.shape[1], k,
+        int(canonical), out.ctypes.data_as(_i64p),
+    )
+    return out

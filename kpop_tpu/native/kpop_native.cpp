@@ -1,0 +1,187 @@
+// kpop-tpu native host runtime: sequence IO + encoding + counting hot loops.
+//
+// The reference's native components are OCaml executables whose hot loops are
+// per-read k-mer hashing and text parsing (reference bin/KPopCount.ml:20-64,
+// BiOCamLib Files.ReadsIterate / Sequences.Lint).  Here the equivalents are
+// C++ kernels exposed through a C ABI (consumed via ctypes,
+// kpop_tpu/native/__init__.py): they feed int8 base-code batches to the TPU
+// pipeline and provide the dense host counting path.
+//
+// Encoding contract (must match kpop_tpu/core/kmers.py exactly):
+//   A=0 C=1 G=2 T=3 (case-insensitive), U->T, '-' removed (gap joins
+//   flanks), everything else -> -1 (window break).  Canonical double-
+//   stranded code = min(forward, reverse-complement), first base most
+//   significant (2 bits/base).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct DnaTables {
+  int8_t code[256];
+  DnaTables() {
+    std::memset(code, -1, sizeof(code));
+    code[(unsigned)'A'] = 0; code[(unsigned)'a'] = 0;
+    code[(unsigned)'C'] = 1; code[(unsigned)'c'] = 1;
+    code[(unsigned)'G'] = 2; code[(unsigned)'g'] = 2;
+    code[(unsigned)'T'] = 3; code[(unsigned)'t'] = 3;
+    code[(unsigned)'U'] = 3; code[(unsigned)'u'] = 3;
+    code[(unsigned)'-'] = -2;  // dash: removed entirely
+  }
+};
+const DnaTables kDna;
+
+}  // namespace
+
+extern "C" {
+
+// Lint + encode DNA bytes into int8 codes; returns codes written (<= n).
+int64_t kpop_encode_dna(const uint8_t* in, int64_t n, int8_t* out) {
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int8_t c = kDna.code[in[i]];
+    if (c == -2) continue;  // dash removed, flanks join
+    out[m++] = c;
+  }
+  return m;
+}
+
+// Parse FASTA text from a buffer; encode up to max_seqs sequences into
+// out[max_seqs * max_len] (int8, -1 padded/truncated).  Also records, per
+// sequence: byte offset + length of the name (first word of the header) in
+// the input buffer, and the encoded length (pre-truncation).
+// Returns the number of sequences encoded; *consumed is the byte position
+// after the last complete record processed (for streaming refills).
+int64_t kpop_fasta_encode_batch(const uint8_t* buf, int64_t buflen,
+                                int8_t* out, int64_t max_seqs,
+                                int64_t max_len, int64_t* name_off,
+                                int64_t* name_len, int64_t* seq_len,
+                                int64_t* consumed) {
+  int64_t pos = 0, nseq = 0;
+  *consumed = 0;
+  while (pos < buflen && nseq < max_seqs) {
+    // find header
+    while (pos < buflen && buf[pos] != '>') ++pos;
+    if (pos >= buflen) break;
+    int64_t hdr = pos + 1;
+    // name = first word of header
+    int64_t ne = hdr;
+    while (ne < buflen && buf[ne] != '\n' && buf[ne] != ' ' &&
+           buf[ne] != '\t' && buf[ne] != '\r')
+      ++ne;
+    // end of header line
+    int64_t le = ne;
+    while (le < buflen && buf[le] != '\n') ++le;
+    if (le >= buflen) break;  // incomplete header line
+    // sequence lines until next '>' or EOF
+    int64_t sp = le + 1, written = 0, total = 0;
+    int8_t* dst = out + nseq * max_len;
+    int64_t p = sp;
+    while (p < buflen && buf[p] != '>') {
+      uint8_t ch = buf[p++];
+      if (ch == '\n' || ch == '\r') continue;
+      int8_t c = kDna.code[ch];
+      if (c == -2) continue;
+      ++total;
+      if (written < max_len) dst[written++] = c;
+    }
+    // pad
+    for (int64_t i = written; i < max_len; ++i) dst[i] = -1;
+    name_off[nseq] = hdr;
+    name_len[nseq] = ne - hdr;
+    seq_len[nseq] = total;
+    ++nseq;
+    pos = p;
+    *consumed = p;
+  }
+  return nseq;
+}
+
+// Parse FASTQ (4-line records); encode reads like the FASTA variant.
+int64_t kpop_fastq_encode_batch(const uint8_t* buf, int64_t buflen,
+                                int8_t* out, int64_t max_seqs,
+                                int64_t max_len, int64_t* name_off,
+                                int64_t* name_len, int64_t* seq_len,
+                                int64_t* consumed) {
+  int64_t pos = 0, nseq = 0;
+  *consumed = 0;
+  while (pos < buflen && nseq < max_seqs) {
+    while (pos < buflen && (buf[pos] == '\n' || buf[pos] == '\r')) ++pos;
+    if (pos >= buflen || buf[pos] != '@') break;
+    int64_t hdr = pos + 1;
+    int64_t ne = hdr;
+    while (ne < buflen && buf[ne] != '\n' && buf[ne] != ' ' &&
+           buf[ne] != '\t' && buf[ne] != '\r')
+      ++ne;
+    int64_t le = ne;
+    while (le < buflen && buf[le] != '\n') ++le;
+    if (le >= buflen) break;
+    int64_t sp = le + 1, written = 0, total = 0;
+    int8_t* dst = out + nseq * max_len;
+    int64_t p = sp;
+    while (p < buflen && buf[p] != '\n') {
+      int8_t c = kDna.code[buf[p++]];
+      if (c == -2) continue;
+      ++total;
+      if (written < max_len) dst[written++] = c;
+    }
+    if (p >= buflen) break;
+    ++p;  // newline
+    // '+' line
+    int64_t plus = p;
+    while (p < buflen && buf[p] != '\n') ++p;
+    if (p >= buflen || buf[plus] != '+') break;
+    ++p;
+    // quality line (same length as sequence bytes incl. dashes; skip a line)
+    while (p < buflen && buf[p] != '\n') ++p;
+    if (p >= buflen) break;
+    ++p;
+    for (int64_t i = written; i < max_len; ++i) dst[i] = -1;
+    name_off[nseq] = hdr;
+    name_len[nseq] = ne - hdr;
+    seq_len[nseq] = total;
+    ++nseq;
+    *consumed = p;
+    pos = p;
+  }
+  return nseq;
+}
+
+// Accumulate canonical k-mer window counts of an encoded sequence into a
+// dense spectrum (int64[4^k]).  Rolling-code version of the vectorized
+// window extraction (core/kmers.py window_codes): forward code rolls left,
+// reverse-complement rolls right; a break resets the window.
+void kpop_count_dense(const int8_t* codes, int64_t n, int32_t k,
+                      int32_t canonical, int64_t* spectrum) {
+  if (k <= 0 || k > 31 || n < k) return;
+  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int shift = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int64_t run = 0;  // valid bases in current window
+  for (int64_t i = 0; i < n; ++i) {
+    int8_t c = codes[i];
+    if (c < 0) {
+      run = 0;
+      fwd = rc = 0;
+      continue;
+    }
+    fwd = ((fwd << 2) | (uint64_t)c) & mask;
+    rc = (rc >> 2) | ((uint64_t)(3 - c) << shift);
+    if (++run >= k) {
+      uint64_t code = canonical && rc < fwd ? rc : fwd;
+      ++spectrum[code];
+    }
+  }
+}
+
+// Batch variant over a padded [n_seqs, length] int8 matrix; one combined
+// spectrum (the -l accumulation mode of KPopCount).
+void kpop_count_dense_batch(const int8_t* codes, int64_t n_seqs,
+                            int64_t length, int32_t k, int32_t canonical,
+                            int64_t* spectrum) {
+  for (int64_t s = 0; s < n_seqs; ++s)
+    kpop_count_dense(codes + s * length, length, k, canonical, spectrum);
+}
+
+}  // extern "C"

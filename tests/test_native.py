@@ -1,0 +1,89 @@
+"""The C++ native host runtime must agree with the numpy golden paths."""
+
+import numpy as np
+import pytest
+
+from kpop_tpu import native
+from kpop_tpu.core import kmers
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain"
+)
+
+
+def random_dna(rng, n):
+    return "".join(
+        rng.choice(list("ACGTNacgtu-"), p=[0.2, 0.2, 0.2, 0.2, 0.05, 0.04,
+                                           0.04, 0.03, 0.02, 0.01, 0.01],
+                   size=n)
+    )
+
+
+def test_encode_matches_python():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        seq = random_dna(rng, 500)
+        want = kmers.encode_dna(seq)
+        got = native.encode_dna(seq.encode())
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k,canonical", [(5, True), (5, False), (12, True)])
+def test_count_dense_matches_python(k, canonical):
+    rng = np.random.default_rng(1)
+    space = kmers.KmerSpace("DNA-ds" if canonical else "DNA-ss", k)
+    seq = random_dna(rng, 3000)
+    codes = kmers.encode_dna(seq)
+    want = np.zeros(space.n_kmers, dtype=np.int64)
+    np.add.at(want, space.window_codes(codes).astype(np.int64), 1)
+    got = native.count_dense(codes, k, canonical)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fasta_encode_batch():
+    buf = b">s1 desc\nACGT\nACGT\n>s2\nNNAC-GT\n>s3\nacgu\n"
+    codes, names, seq_lens, consumed = native.fasta_encode_batch(buf, 10, 12)
+    assert names == ["s1", "s2", "s3"]
+    assert consumed == len(buf)
+    np.testing.assert_array_equal(seq_lens, [8, 6, 4])
+    np.testing.assert_array_equal(
+        codes[0], [0, 1, 2, 3, 0, 1, 2, 3, -1, -1, -1, -1]
+    )
+    # dash removed, N -> -1 break
+    np.testing.assert_array_equal(codes[1][:6], [-1, -1, 0, 1, 2, 3])
+    np.testing.assert_array_equal(codes[2][:4], [0, 1, 2, 3])  # u -> T
+
+
+def test_fasta_encode_batch_truncates_and_limits():
+    buf = b">a\nACGTACGT\n>b\nTTTT\n"
+    codes, names, seq_lens, consumed = native.fasta_encode_batch(buf, 1, 4)
+    assert names == ["a"]
+    assert seq_lens[0] == 8  # pre-truncation length reported
+    np.testing.assert_array_equal(codes[0], [0, 1, 2, 3])
+    assert consumed < len(buf)  # second record untouched, stream can refill
+
+
+def test_fastq_encode_batch():
+    buf = b"@r1 x\nACGT\n+\nIIII\n@r2\nTT-T\n+anything\nIII\n"
+    codes, names, seq_lens, consumed = native.fasta_encode_batch(
+        buf, 10, 6, fastq=True
+    )
+    assert names == ["r1", "r2"]
+    np.testing.assert_array_equal(codes[0][:4], [0, 1, 2, 3])
+    np.testing.assert_array_equal(codes[1][:3], [3, 3, 3])
+    assert seq_lens[1] == 3
+    assert consumed == len(buf)
+
+
+def test_count_dense_batch_accumulates():
+    rng = np.random.default_rng(2)
+    space = kmers.KmerSpace("DNA-ds", 4)
+    seqs = [random_dna(rng, 200) for _ in range(5)]
+    batch = np.full((5, 250), -1, dtype=np.int8)
+    want = np.zeros(space.n_kmers, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        e = kmers.encode_dna(s)
+        batch[i, : len(e)] = e
+        np.add.at(want, space.window_codes(e).astype(np.int64), 1)
+    got = native.count_dense_batch(batch, 4, True)
+    np.testing.assert_array_equal(got, want)
