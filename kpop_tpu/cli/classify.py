@@ -43,6 +43,7 @@ def main(argv=None) -> int:
         "metric": Metric.of_string("powers(1,1,2)"),
         "normalize": True,
         "verbose": False,
+        "profile": "",
     }
     p = Parser(
         "KPopClassify",
@@ -89,6 +90,10 @@ def main(argv=None) -> int:
           ["metric function"],
           lambda a: state.update(metric=Metric.of_string(a.get())),
           "powers(1,1,2)")
+    p.opt(["--profile"], "<trace_directory>",
+          ["write a JAX/XLA profiler trace of the run (view with",
+           "tensorboard or xprof; kpop-tpu extension)"],
+          lambda a: state.update(profile=a.get()))
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
           lambda a: state.update(verbose=True))
     p.opt(["-V", "--version"], None, ["print version and exit"],
@@ -168,12 +173,20 @@ def main(argv=None) -> int:
             batch_tags.clear()
             batch_seqs.clear()
 
-        for tag, segments in iter_reads(state["inputs"]):
-            batch_tags.append(tag)
-            batch_seqs.append("N".join(segments))
-            if len(batch_tags) >= state["batch"]:
-                flush()
-        flush()
+        import contextlib
+
+        prof = (
+            jax.profiler.trace(state["profile"])
+            if state["profile"]
+            else contextlib.nullcontext()
+        )
+        with prof:
+            for tag, segments in iter_reads(state["inputs"]):
+                batch_tags.append(tag)
+                batch_seqs.append("N".join(segments))
+                if len(batch_tags) >= state["batch"]:
+                    flush()
+            flush()
     finally:
         close_if_owned(out, out_path)
     if state["verbose"]:
