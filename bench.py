@@ -49,7 +49,7 @@ def main() -> None:
     C = 512  # classes
     B = 128  # sequences per batch
     L = 30_000  # SARS-CoV-2-scale genome length
-    n_batches = 16
+    n_batches = 48
 
     rng = np.random.default_rng(0)
     lut = np.full(n_codes + 1, V, dtype=np.int32)
@@ -97,24 +97,42 @@ def main() -> None:
             pos += L + 1
         return out
 
-    @jax.jit
-    def step(p, base_codes):
+    from kpop_tpu.ops.encode import unpack_2bit_batch
+
+    def _step_impl(p, base_codes):
         spectra = count_spectra(p, base_codes)
         twisted = project(p, spectra)
         dmat = distances_to_classes(p, twisted)
         mean, std, med, mad, top, idx = summarize_batch(dmat, 2)
         return idx, top
 
+    step = jax.jit(_step_impl)
+    step_packed = jax.jit(
+        lambda p, packed, valid: _step_impl(
+            p, unpack_2bit_batch(packed, valid, L)
+        )
+    )
+
+    def encode_and_dispatch():
+        """Host parse+encode, pack to the 2-bit wire format when the native
+        library is present, upload, run the fused device step."""
+        codes = host_encode()
+        if use_native:
+            packed, valid = native.pack_2bit_batch(codes)
+            return step_packed(params, jnp.asarray(packed), jnp.asarray(valid))
+        return step(params, jnp.asarray(codes))
+
     # warm up / compile (params travel as arguments, never as constants)
-    out = step(params, jnp.asarray(host_encode()))
-    jax.block_until_ready(out)
+    _ = jax.device_get(encode_and_dispatch())  # forces real completion
+    # (block_until_ready can be unreliable over tunneled backends)
 
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        batch = host_encode()
-        out = step(params, jnp.asarray(batch))
-    jax.block_until_ready(out)
+    outs = [encode_and_dispatch() for _ in range(n_batches)]
+    # fetch every batch's predictions (tiny [B, 2] arrays) — the real
+    # serving output — which forces all queued compute to finish
+    preds = jax.device_get(outs)
     dt = time.perf_counter() - t0
+    assert len(preds) == n_batches and preds[-1][0].shape == (B, 2)
 
     seqs_per_s = n_batches * B / dt
     print(

@@ -69,6 +69,8 @@ def get_lib():
         lib.kpop_count_dense_batch.argtypes = [
             _i8p, _i64, _i64, ctypes.c_int32, ctypes.c_int32, _i64p,
         ]
+        lib.kpop_pack_2bit_batch.restype = None
+        lib.kpop_pack_2bit_batch.argtypes = [_i8p, _i64, _i64, _u8p, _u8p]
         _lib = lib
         return _lib
 
@@ -118,6 +120,23 @@ def fasta_encode_batch(
         for i in range(n)
     ]
     return codes[:n], names, seq_len[:n], consumed.value
+
+
+def pack_2bit_batch(codes: np.ndarray):
+    """[n, L] int8 codes -> (packed [n, ceil(L/4)] u8, valid [n, ceil(L/8)] u8).
+
+    The 2-bit wire format: 2.7x smaller host->device transfers than raw
+    int8 codes; unpacked on device (ops/encode.unpack_2bit_batch)."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    n, L = codes.shape
+    packed = np.empty((n, (L + 3) // 4), dtype=np.uint8)
+    valid = np.empty((n, (L + 7) // 8), dtype=np.uint8)
+    lib.kpop_pack_2bit_batch(
+        codes.ctypes.data_as(_i8p), n, L,
+        packed.ctypes.data_as(_u8p), valid.ctypes.data_as(_u8p),
+    )
+    return packed, valid
 
 
 def count_dense(codes: np.ndarray, k: int, canonical: bool) -> np.ndarray:

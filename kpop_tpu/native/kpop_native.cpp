@@ -184,4 +184,27 @@ void kpop_count_dense_batch(const int8_t* codes, int64_t n_seqs,
     kpop_count_dense(codes + s * length, length, k, canonical, spectrum);
 }
 
+// Pack int8 base codes (-1 = break) into the 2-bit wire format:
+// packed: 4 bases/byte (base i in bits 2*(i%4)), valid: 1 bit/base.
+// Rows of a [n_seqs, length] batch are packed independently;
+// packed stride = (length+3)/4, valid stride = (length+7)/8.
+void kpop_pack_2bit_batch(const int8_t* codes, int64_t n_seqs, int64_t length,
+                          uint8_t* packed, uint8_t* valid) {
+  const int64_t ps = (length + 3) / 4, vs = (length + 7) / 8;
+  for (int64_t s = 0; s < n_seqs; ++s) {
+    const int8_t* row = codes + s * length;
+    uint8_t* p = packed + s * ps;
+    uint8_t* v = valid + s * vs;
+    std::memset(p, 0, ps);
+    std::memset(v, 0, vs);
+    for (int64_t i = 0; i < length; ++i) {
+      int8_t c = row[i];
+      if (c >= 0) {
+        p[i >> 2] |= (uint8_t)c << ((i & 3) * 2);
+        v[i >> 3] |= (uint8_t)1 << (i & 7);
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -78,6 +78,21 @@ def spectra_from_codes(
     return out[:, :n_kmers]
 
 
+def unpack_2bit_batch(packed, valid, length: int):
+    """Device-side unpack of the 2-bit wire format produced by
+    ``native.pack_2bit_batch``: returns [B, length] int32 base codes with
+    -1 at invalid positions.  Pure shifts/masks — fuses into the window
+    code computation."""
+    B = packed.shape[0]
+    # bases: byte i>>2, bits (i&3)*2
+    idx = jnp.arange(length, dtype=jnp.int32)
+    byte = packed[:, idx >> 2].astype(jnp.int32)
+    base = (byte >> ((idx & 3) * 2)[None, :]) & 3
+    vbyte = valid[:, idx >> 3].astype(jnp.int32)
+    ok = (vbyte >> (idx & 7)[None, :]) & 1
+    return jnp.where(ok == 1, base, -1)
+
+
 def encode_reads_host(
     seqs: list[str], length: int | None = None
 ) -> np.ndarray:

@@ -87,3 +87,17 @@ def test_count_dense_batch_accumulates():
         np.add.at(want, space.window_codes(e).astype(np.int64), 1)
     got = native.count_dense_batch(batch, 4, True)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pack_unpack_roundtrip():
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from kpop_tpu.ops.encode import unpack_2bit_batch
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(-1, 4, size=(4, 37)).astype(np.int8)
+    packed, valid = native.pack_2bit_batch(codes)
+    assert packed.shape == (4, 10) and valid.shape == (4, 5)
+    got = np.asarray(unpack_2bit_batch(jnp.asarray(packed), jnp.asarray(valid), 37))
+    np.testing.assert_array_equal(got, codes)
