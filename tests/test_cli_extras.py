@@ -126,3 +126,117 @@ def test_twist_jax_backend_matches_host(tmp_path):
     for j in range(dh.shape[0]):
         sign = 1.0 if np.dot(dh[j], dj[j]) >= 0 else -1.0
         np.testing.assert_allclose(dj[j], sign * dh[j], rtol=2e-2, atol=2e-4)
+
+
+def test_protein_classification_pipeline(tmp_path):
+    """Full pipeline on protein content: 4 protein families, classify
+    held-out members (exercises the base-20 code space end to end)."""
+    rng = np.random.default_rng(3)
+    alpha = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    families = [rng.integers(0, 20, size=120) for _ in range(4)]
+
+    def mutate(g, n):
+        g = g.copy()
+        pos = rng.choice(len(g), size=n, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 20, size=n)) % 20
+        return g
+
+    train = tmp_path / "train"
+    train.mkdir()
+    lines_test = []
+    for fi, fam in enumerate(families):
+        seqs = []
+        for s in range(6):
+            p = "".join(alpha[mutate(fam, 6)])
+            if s < 4:
+                seqs.append(">%d_%d\n%s" % (fi, s, p))
+            else:
+                lines_test.append(">T%d_%d-F%d\n%s" % (fi, s, fi, p))
+        (train / ("f%d.fasta" % fi)).write_text("\n".join(seqs) + "\n")
+    (tmp_path / "test.fasta").write_text("\n".join(lines_test) + "\n")
+    for fi in range(4):
+        sh(
+            "kpop-count -k 3 -C protein -L -f train/f%d.fasta -o /dev/stdout | "
+            "kpop-countdb -k /dev/stdin -R '~.' -A F%d -L F%d -N -D -t T%d"
+            % (fi, fi, fi, fi),
+            tmp_path,
+        )
+    sh(
+        "cat T0.KPopCounter.txt T1.KPopCounter.txt T2.KPopCounter.txt "
+        "T3.KPopCounter.txt | kpop-countdb -k /dev/stdin -o Classes && "
+        "kpop-twist -i Classes -o Classes",
+        tmp_path,
+    )
+    sh(
+        "kpop-count -k 3 -C protein -L -f test.fasta -o /dev/stdout | "
+        "kpop-twistdb -i T Classes -k /dev/stdin -o t /dev/stdout | "
+        "kpop-twistdb -i T Classes -i t Classes -s /dev/stdin Pred",
+        tmp_path,
+    )
+    mis = 0
+    for ln in (tmp_path / "Pred.KPopSummary.txt").read_text().splitlines():
+        p = ln.split("\t")
+        if p[0].split("-")[1] != p[5]:
+            mis += 1
+    assert mis == 0
+
+
+def test_cosine_and_minkowski_summaries(tmp_path):
+    rng = np.random.default_rng(4)
+    import io as _io
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.core.count import spectrum_of_sequences
+
+    space = KmerSpace("DNA-ds", 5)
+    db = CounterDB()
+    for c in range(5):
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 400)])
+        codes, counts = spectrum_of_sequences(space, [seq])
+        db.add_spectra_stream(_io.StringIO(
+            "\tS%d\n" % c + "".join(
+                "%s\t%d\n" % (space.code_to_hex(cd), ct)
+                for cd, ct in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    for dist in ("cosine", "minkowski(3)"):
+        sh(
+            "kpop-twistdb -i T TW -i t TW --distance '%s' -s TW S_%s"
+            % (dist, dist.replace("(", "").replace(")", "")),
+            tmp_path,
+        )
+    cos = (tmp_path / "S_cosine.KPopSummary.txt").read_text().splitlines()
+    mink = (tmp_path / "S_minkowski3.KPopSummary.txt").read_text().splitlines()
+    assert len(cos) == len(mink) == 5
+    # self-distance 0 -> nearest target is self under any metric
+    for ln in cos + mink:
+        p = ln.split("\t")
+        assert p[0] == p[5]
+        assert float(p[6]) < 1e-10
+
+
+def test_centroids_splits_cli(tmp_path):
+    rng = np.random.default_rng(6)
+    import io as _io
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.core.count import spectrum_of_sequences
+
+    space = KmerSpace("DNA-ds", 5)
+    db = CounterDB()
+    for c in range(6):
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 300)])
+        codes, counts = spectrum_of_sequences(space, [seq])
+        db.add_spectra_stream(_io.StringIO(
+            "\tS%d\n" % c + "".join(
+                "%s\t%d\n" % (space.code_to_hex(cd), ct)
+                for cd, ct in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    sh(
+        "kpop-twistdb -i T TW -i t TW -e --splits-algorithm centroids -p "
+        "-O s SP",
+        tmp_path,
+    )
+    lines = (tmp_path / "SP.PhyloSplits.txt").read_text().splitlines()
+    assert len(lines) >= 6  # recursive bipartition down to singletons
