@@ -313,24 +313,46 @@ def main(argv=None) -> int:
               _parse_keep_at_most(a)),
           "2")
 
+    p.opt(["--backend"], "'host'|'jax'",
+          ["compute backend for -s summaries: float64 host numpy (exact,",
+           "default) or batched device digests (kpop-tpu extension for",
+           "large workloads; float32 distances, same tie semantics)"],
+          lambda a: (lambda v: act(lambda st: st.update(backend=v)))(a.get()),
+          "host")
+
     def add_summary_from_twisted(a: Args):
         prefix_in = a.get()
         prefix_out = a.get()
 
         def run(st):
-            lines = summarize_rowwise_typed(
-                st["distance"],
-                st["twister"].metrics_vector(st["metric"]),
-                st["twisted"],
-                KPopMatrix.of_binary(MatrixType.TWISTED, prefix_in),
-                keep_at_most=st["summary_keep_at_most"],
-                normalize=st["distance_normalize"],
-            )
+            queries = KPopMatrix.of_binary(MatrixType.TWISTED, prefix_in)
             path = with_ext(prefix_out, SUMMARY_EXT)
             f = open_out(path)
             try:
-                for ln in lines:
-                    f.write(ln + "\n")
+                if st["backend"] in ("jax", "tpu", "device"):
+                    from ..ops.summaries import summarize_rowwise_device
+
+                    queries.expect(MatrixType.TWISTED)
+                    st["twisted"].expect(MatrixType.TWISTED)
+                    summarize_rowwise_device(
+                        st["distance"],
+                        st["twister"].metrics_vector(st["metric"]),
+                        st["twisted"].matrix,
+                        queries.matrix,
+                        keep_at_most=st["summary_keep_at_most"],
+                        normalize=st["distance_normalize"],
+                        out=f,
+                    )
+                else:
+                    for ln in summarize_rowwise_typed(
+                        st["distance"],
+                        st["twister"].metrics_vector(st["metric"]),
+                        st["twisted"],
+                        queries,
+                        keep_at_most=st["summary_keep_at_most"],
+                        normalize=st["distance_normalize"],
+                    ):
+                        f.write(ln + "\n")
             finally:
                 close_if_owned(f, path)
 
@@ -394,6 +416,7 @@ def main(argv=None) -> int:
         splits_algorithm="gaps",
         splits_keep_at_most=10000,
         summary_keep_at_most=2,
+        backend="host",
         precision_tables=15,
         precision_splits=10,
     )

@@ -1,0 +1,163 @@
+"""Device-accelerated distance summarization for large target sets.
+
+The production workloads summarize 10^5-10^6 query rows against 10^3+
+targets (reference README.md:1049-1073: 650K queries, ~14 h on a CPU node).
+Here each query batch's distance row is computed with the MXU matmul
+expansion and digested ON DEVICE (mean, n-1 stddev, upper median, MAD,
+top-(K+slack) nearest); only the tiny digests travel back to the host,
+which formats them with the reference's exact tie semantics
+(lib/Matrix.ml:632-690).  Rows whose tie group overflows the device top-K
+slack fall back to the host float64 path (rare; exact either way).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import IO, List
+
+import numpy as np
+
+from ..config import jax_setup
+
+jax = jax_setup()
+import jax.numpy as jnp  # noqa: E402
+
+from ..core.matrix import NamedMatrix  # noqa: E402
+from ..core.space import Distance, summarize_distance_row  # noqa: E402
+
+TOPK_SLACK = 14
+
+
+@partial(jax.jit, static_argnames=("kind", "power", "normalize", "k_cap"))
+def _digest_batch(
+    targets, queries, metric, tnorms, kind, power, normalize, k_cap
+):
+    a = targets  # [N, D]
+    b = queries  # [B, D]
+    m = metric
+    if normalize:
+        # norms use the distance's own scaling (lib/Space.ml:159-181):
+        # euclidean sqrt(.), cosine (.)/2, minkowski (.)^(1/p)
+        if kind == "euclidean":
+            nb = jnp.sqrt((b * b * m[None, :]).sum(axis=1))
+        elif kind == "cosine":
+            nb = (b * b * m[None, :]).sum(axis=1) / 2.0
+        else:
+            nb = (jnp.abs(b) ** power * m[None, :]).sum(axis=1) ** (1.0 / power)
+        nb = jnp.where(nb == 0.0, 1.0, nb)
+        b = b / nb[:, None]
+        a = a / tnorms[:, None]
+    if kind in ("euclidean", "cosine"):
+        am = a * m[None, :]
+        cross = jnp.dot(b, am.T, preferred_element_type=jnp.float32)
+        na2 = (am * a).sum(axis=1)
+        nb2 = (b * b * m[None, :]).sum(axis=1)
+        acc = jnp.maximum(nb2[:, None] + na2[None, :] - 2.0 * cross, 0.0)
+        dmat = jnp.sqrt(acc) if kind == "euclidean" else acc / 2.0
+    else:
+        diff = jnp.abs(b[:, None, :] - a[None, :, :])
+        dmat = ((diff**power) * m[None, None, :]).sum(axis=2) ** (1.0 / power)
+    B, N = dmat.shape
+    mean = dmat.mean(axis=1)
+    std = jnp.sqrt(((dmat - mean[:, None]) ** 2).sum(axis=1) / max(N - 1, 1))
+    srt = jnp.sort(dmat, axis=1)
+    median = srt[:, N // 2]
+    mad = jnp.sort(jnp.abs(dmat - median[:, None]), axis=1)[:, N // 2]
+    k = min(k_cap, N)
+    neg_top, idx = jax.lax.top_k(-dmat, k)
+    return mean, std, median, mad, -neg_top, idx, srt[:, min(k, N) - 1]
+
+
+def summarize_rowwise_device(
+    distance: Distance,
+    metric: np.ndarray,
+    m1: NamedMatrix,
+    m2: NamedMatrix,
+    keep_at_most: int | None,
+    normalize: bool,
+    out: IO[str],
+    batch: int = 1024,
+) -> int:
+    """Write summary lines for every m2 row vs all m1 rows; returns #rows.
+
+    Exact output parity with :func:`core.space.summarize_rowwise` is tested;
+    ties overflowing the top-K slack fall back to the host per row.
+    """
+    targets = np.asarray(m1.data, dtype=np.float64)
+    N = targets.shape[0]
+    req_len = N if keep_at_most is None else keep_at_most
+    k_cap = min(N, req_len + TOPK_SLACK)
+    if normalize:
+        tn = distance.compute_norm(metric, targets)
+        tn = np.where(tn == 0.0, 1.0, tn)
+    else:
+        tn = np.ones(N)
+    td = jnp.asarray(targets, dtype=jnp.float32)
+    md = jnp.asarray(metric, dtype=jnp.float32)
+    tnd = jnp.asarray(tn, dtype=jnp.float32)
+    queries = np.asarray(m2.data, dtype=np.float64)
+    col_names = m1.row_names
+    n_rows = 0
+    host_fallbacks = 0
+    for lo in range(0, queries.shape[0], batch):
+        q = queries[lo : lo + batch]
+        mean, std, median, mad, top, idx, kth = [
+            np.asarray(x, dtype=np.float64)
+            for x in _digest_batch(
+                td,
+                jnp.asarray(q, dtype=jnp.float32),
+                md,
+                tnd,
+                kind=distance.kind,
+                power=distance.power,
+                normalize=normalize,
+                k_cap=k_cap,
+            )
+        ]
+        for j in range(q.shape[0]):
+            row_name = m2.row_names[lo + j]
+            # eff_len: whole tie groups until >= req_len
+            kth_val = top[j, min(req_len, k_cap) - 1]
+            in_k = top[j] <= kth_val
+            eff_len = int(in_k.sum())
+            if eff_len >= k_cap and k_cap < N:
+                # tie group may extend beyond the device top-K: exact host row
+                host_fallbacks += 1
+                row = _host_row(distance, metric, targets, tn, q[j], normalize)
+                out.write(
+                    summarize_distance_row(req_len, row_name, row, col_names)
+                    + "\n"
+                )
+                continue
+            parts = [
+                row_name,
+                "%.15g" % mean[j],
+                "%.15g" % std[j],
+                "%.15g" % median[j],
+                "%.15g" % mad[j],
+            ]
+            # stable order: by distance then target index
+            sel = np.lexsort((idx[j, :eff_len], top[j, :eff_len]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for s in sel:
+                    d = top[j, s]
+                    z = (d - mean[j]) / std[j]
+                    parts += [col_names[int(idx[j, s])], "%.15g" % d, "%.15g" % z]
+            out.write("\t".join(parts) + "\n")
+            n_rows += 1
+    return n_rows + host_fallbacks
+
+
+def _host_row(distance, metric, targets, tnorms, query, normalize):
+    q = query
+    if normalize:
+        nq = float(distance.compute_norm(metric, q))
+        nq = 1.0 if nq == 0.0 else nq
+        q = q / nq
+    a = targets / tnorms[:, None]
+    if distance.kind in ("euclidean", "cosine"):
+        d2 = ((a - q[None, :]) ** 2 * metric[None, :]).sum(axis=1)
+        return np.sqrt(d2) if distance.kind == "euclidean" else d2 / 2.0
+    return (
+        (np.abs(a - q[None, :]) ** distance.power * metric[None, :]).sum(axis=1)
+    ) ** (1.0 / distance.power)

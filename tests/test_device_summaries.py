@@ -1,0 +1,124 @@
+"""Device-batched summarization must match the host float64 path:
+identical structure/targets/ties; numeric fields to float32 tolerance."""
+
+import io
+
+import numpy as np
+import pytest
+
+from kpop_tpu.core.matrix import NamedMatrix
+from kpop_tpu.core.space import Distance, summarize_rowwise
+from kpop_tpu.ops.summaries import summarize_rowwise_device
+
+
+def make_case(rng, N=20, B=37, D=9):
+    targets = NamedMatrix(
+        [f"t{i}" for i in range(N)],
+        [f"d{j}" for j in range(D)],
+        rng.standard_normal((N, D)),
+    )
+    queries = NamedMatrix(
+        [f"q{i}" for i in range(B)],
+        [f"d{j}" for j in range(D)],
+        rng.standard_normal((B, D)),
+    )
+    metric = rng.random(D)
+    metric /= metric.sum()
+    return targets, queries, metric
+
+
+@pytest.mark.parametrize("spec", ["euclidean", "cosine", "minkowski(3)"])
+@pytest.mark.parametrize("keep", [2, 5, None])
+def test_device_summaries_match_host(spec, keep):
+    rng = np.random.default_rng(0)
+    targets, queries, metric = make_case(rng)
+    dist = Distance.of_string(spec)
+    want = summarize_rowwise(dist, metric, targets, queries, keep_at_most=keep)
+    buf = io.StringIO()
+    n = summarize_rowwise_device(
+        dist, metric, targets, queries, keep_at_most=keep, normalize=True,
+        out=buf, batch=8,
+    )
+    got = buf.getvalue().splitlines()
+    assert n == len(want) == len(got)
+    for g, w in zip(got, want):
+        pg, pw = g.split("\t"), w.split("\t")
+        assert len(pg) == len(pw), (g, w)
+        assert pg[0] == pw[0]
+        # same targets in the same order
+        assert pg[5::3] == pw[5::3], (g, w)
+        for a, b in zip(pg[1:], pw[1:]):
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                continue
+            assert abs(fa - fb) < 2e-4 * max(1.0, abs(fb)), (g, w)
+
+
+def test_device_summaries_tie_groups():
+    """A large tie group (duplicated targets) must extend the list exactly
+    like the host path, via host fallback when it exceeds the slack."""
+    rng = np.random.default_rng(1)
+    D = 4
+    base = rng.standard_normal((1, D))
+    # 17 identical targets (beyond TOPK_SLACK above req_len) + 3 distinct
+    targets_data = np.concatenate(
+        [np.repeat(base, 17, axis=0), rng.standard_normal((3, D))], axis=0
+    )
+    targets = NamedMatrix(
+        [f"t{i}" for i in range(20)], [f"d{j}" for j in range(D)], targets_data
+    )
+    queries = NamedMatrix(
+        ["q0"], [f"d{j}" for j in range(D)], rng.standard_normal((1, D))
+    )
+    metric = np.full(D, 0.25)
+    dist = Distance.of_string("euclidean")
+    want = summarize_rowwise(dist, metric, targets, queries, keep_at_most=2)
+    buf = io.StringIO()
+    summarize_rowwise_device(
+        dist, metric, targets, queries, keep_at_most=2, normalize=True, out=buf
+    )
+    got = buf.getvalue().splitlines()
+    assert len(got[0].split("\t")) == len(want[0].split("\t"))
+    assert got[0].split("\t")[5::3] == want[0].split("\t")[5::3]
+
+
+def test_twistdb_summary_backend_jax_cli(tmp_path):
+    import os
+    import subprocess
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(2)
+    import io as _io
+
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.kmers import KmerSpace
+
+    space = KmerSpace("DNA-ds", 5)
+    db = CounterDB()
+    for c in range(6):
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 300)])
+        codes, counts = spectrum_of_sequences(space, [seq])
+        db.add_spectra_stream(_io.StringIO(
+            "\tS%d\n" % c + "".join(
+                "%s\t%d\n" % (space.code_to_hex(cd), ct)
+                for cd, ct in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    env = dict(os.environ, PATH=os.path.join(REPO, "bin") + os.pathsep
+               + os.environ["PATH"], PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+
+    def sh(cmd):
+        res = subprocess.run(["bash", "-c", cmd], cwd=str(tmp_path), env=env,
+                             capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr[-1500:]
+
+    sh("kpop-twist -i DB -o TW")
+    sh("kpop-twistdb -i T TW -i t TW -s TW HOST")
+    sh("kpop-twistdb -i T TW -i t TW --backend jax -s TW DEV")
+    host = (tmp_path / "HOST.KPopSummary.txt").read_text().splitlines()
+    dev = (tmp_path / "DEV.KPopSummary.txt").read_text().splitlines()
+    assert len(host) == len(dev) == 6
+    for h, d in zip(host, dev):
+        hp, dp = h.split("\t"), d.split("\t")
+        assert hp[0] == dp[0] and hp[5::3] == dp[5::3]
