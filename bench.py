@@ -148,4 +148,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # tunneled TPU backends can be flaky; retry once
+        sys.stderr.write(f"bench attempt 1 failed ({exc!r}); retrying\n")
+        main()

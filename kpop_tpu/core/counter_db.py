@@ -39,6 +39,7 @@ from ..utils.naming import (
     with_ext,
 )
 from ..utils.quoting import strip_external_quotes_and_check
+from .kmers import hex_labels_vectorized
 from .matrix import MatrixType, NamedMatrix
 from .transforms import StatsTable, Transformation, apply_transform, stats_table
 
@@ -96,6 +97,24 @@ class CounterDB:
     def __post_init__(self):
         self._row_idx = {n: i for i, n in enumerate(self.row_names)}
         self._col_idx = {n: i for i, n in enumerate(self.col_names)}
+        # amortized growth: the storage buffer over-allocates 1.4x like the
+        # reference (lib/KMerDB.ml:316-365); ``counts`` is the exact view
+        self._buf = np.asarray(self.counts)
+        self.counts = self._buf[: self.n_rows, : self.n_cols]
+
+    def _grow(self, add_rows: int, add_cols: int) -> None:
+        need_r = self.n_rows + add_rows
+        need_c = self.n_cols + add_cols
+        cap_r, cap_c = self._buf.shape
+        if need_r > cap_r or need_c > cap_c:
+            new_r = max(need_r, int(cap_r * 1.4)) if need_r > cap_r else cap_r
+            new_c = max(need_c, int(cap_c * 1.4)) if need_c > cap_c else cap_c
+            buf = np.zeros((new_r, new_c), dtype=self._buf.dtype)
+            buf[: self.n_rows, : self.n_cols] = self.counts
+            self._buf = buf
+        self.counts = self._buf[:need_r, :need_c]
+        self.counts[self.n_rows :, :] = 0
+        self.counts[:, self.n_cols :] = 0
 
     # ---------------- shape ----------------
 
@@ -135,13 +154,10 @@ class CounterDB:
         if idx is not None:
             return idx
         idx = self.n_cols
+        self._grow(0, 1)
         self._col_idx[label] = idx
         self.col_names.append(label)
         self.meta.append([""] * self.n_meta)
-        self.counts = np.concatenate(
-            [self.counts, np.zeros((self.n_rows, 1), dtype=self.counts.dtype)],
-            axis=1,
-        )
         return idx
 
     def _ensure_rows(self, labels: Sequence[str]) -> np.ndarray:
@@ -155,16 +171,10 @@ class CounterDB:
                     seen.add(l)
                     fresh.append(l)
             base = self.n_rows
+            self._grow(len(fresh), 0)
             for i, l in enumerate(fresh):
                 self._row_idx[l] = base + i
             self.row_names.extend(fresh)
-            self.counts = np.concatenate(
-                [
-                    self.counts,
-                    np.zeros((len(fresh), self.n_cols), dtype=self.counts.dtype),
-                ],
-                axis=0,
-            )
         return np.array([self._row_idx[l] for l in labels], dtype=np.int64)
 
     # ---------------- ingest ----------------
@@ -185,15 +195,171 @@ class CounterDB:
             n += 1
         return n
 
+    # -------- native fast ingest --------
+
+    _code_index: tuple | None = None  # (sorted codes u64, row ids i64)
+    _code_cache_width: int = -1
+    _code_cache_rows: int = -1
+
+    def _append_new_rows(self, labels: List[str]) -> np.ndarray:
+        """Bulk-append rows known to be new and distinct (fast path)."""
+        base = self.n_rows
+        self._grow(len(labels), 0)
+        self._row_idx.update(zip(labels, range(base, base + len(labels))))
+        self.row_names.extend(labels)
+        return np.arange(base, base + len(labels), dtype=np.int64)
+
+    def _rebuild_code_index(self, width: int) -> None:
+        codes, ids = [], []
+        for name, idx in self._row_idx.items():
+            if len(name) == width:
+                try:
+                    codes.append(int(name, 16))
+                    ids.append(idx)
+                except ValueError:
+                    pass
+        ca = np.array(codes, dtype=np.uint64)
+        ia = np.array(ids, dtype=np.int64)
+        order = np.argsort(ca)
+        self._code_index = (ca[order], ia[order])
+        self._code_cache_width = width
+        self._code_cache_rows = self.n_rows
+
+    def _codes_to_rows(self, codes: np.ndarray, width: int) -> np.ndarray:
+        """Vectorized code -> row-index mapping (binary search over the
+        sorted known-code table); hex labels are formatted only for codes
+        never seen before.  The ingest hot path for big DBs."""
+        if (
+            self._code_index is None
+            or self._code_cache_width != width
+            or self._code_cache_rows != self.n_rows
+        ):
+            self._rebuild_code_index(width)
+        sorted_codes, row_ids = self._code_index
+        pos = np.searchsorted(sorted_codes, codes)
+        safe = np.minimum(pos, max(len(sorted_codes) - 1, 0))
+        found = (
+            (pos < len(sorted_codes)) & (sorted_codes[safe] == codes)
+            if len(sorted_codes)
+            else np.zeros(len(codes), dtype=bool)
+        )
+        out = np.empty(len(codes), dtype=np.int64)
+        out[found] = row_ids[safe[found]]
+        if not found.all():
+            new_codes = np.unique(codes[~found])
+            labels = hex_labels_vectorized(new_codes, width)
+            new_ids = self._append_new_rows(labels)
+            # merge into the sorted index
+            allc = np.concatenate([sorted_codes, new_codes])
+            alli = np.concatenate([row_ids, new_ids])
+            order = np.argsort(allc)
+            self._code_index = (allc[order], alli[order])
+            self._code_cache_rows = self.n_rows
+            sorted_codes, row_ids = self._code_index
+            pos = np.searchsorted(sorted_codes, codes[~found])
+            out[~found] = row_ids[pos]
+        return out
+
+    _last_ingest_col: int | None = None
+
+    def add_spectra_bytes(self, buf: bytes, allow_continuation: bool = False) -> int:
+        """Ingest a ``.KPopSpectra.txt`` byte buffer via the C++ line
+        parser; falls back to the text path without the native lib.
+        Assumes the uniform fixed-width hex labels kpop-count emits.
+        ``allow_continuation`` lets a buffer start with entry lines that
+        belong to the previous buffer's last spectrum (chunked refills)."""
+        import io as _io
+        import re as _re
+
+        try:
+            from .. import native
+        except ImportError:
+            native = None
+        if native is None or not native.available():
+            return self.add_spectra_stream(_io.StringIO(buf.decode()))
+        m = _re.search(rb"(?m)^([0-9a-fA-F]+)\t", buf)
+        if m is None:  # headers only (or empty)
+            n = self.add_spectra_stream(_io.StringIO(buf.decode()))
+            last = buf.rstrip(b"\n").rfind(b"\t")
+            if last >= 0 and (last == 0 or buf[last - 1 : last] == b"\n"):
+                label = buf[last + 1 :].split(b"\n")[0].decode()
+                self._last_ingest_col = self._col_idx.get(
+                    strip_external_quotes_and_check(label)
+                )
+            return n
+        width = len(m.group(1))
+        kinds, codes, counts, labels, consumed = native.spectra_parse(buf)
+        if buf[consumed:].strip():
+            raise spectra_io.SpectraFormatError("truncated spectra buffer")
+        if len(kinds) == 0:
+            return 0
+        if kinds[0] != 1:
+            if not (allow_continuation and self._last_ingest_col is not None):
+                raise spectra_io.SpectraFormatError("header expected")
+        header_pos = np.nonzero(kinds == 1)[0]
+        segments = []
+        if kinds[0] != 1:
+            first_end = int(header_pos[0]) if len(header_pos) else len(kinds)
+            segments.append((self._last_ingest_col, 0, first_end))
+        bounds = np.append(header_pos, len(kinds))
+        for hi, h in enumerate(header_pos):
+            label = strip_external_quotes_and_check(labels[int(h)])
+            col = self._ensure_col(label)
+            segments.append((col, int(h) + 1, int(bounds[hi + 1])))
+        for col, lo, hi_end in segments:
+            if hi_end > lo:
+                rows = self._codes_to_rows(codes[lo:hi_end], width)
+                acc = np.bincount(
+                    rows, weights=counts[lo:hi_end], minlength=self.n_rows
+                )
+                self.counts[:, col] += acc.astype(self.counts.dtype)
+            self._last_ingest_col = col
+        return len(header_pos)
+
     def add_files(self, prefixes: Sequence[str]) -> int:
         n = 0
+        chunk_size = 64 << 20
         for prefix in prefixes:
             path = spectra_io.spectra_filename(prefix)
-            f = open_in(path)
             try:
-                n += self.add_spectra_stream(f)
-            finally:
-                close_if_owned(f, path)
+                from .. import native as _native
+
+                use_native = _native.available()
+            except ImportError:
+                use_native = False
+            if use_native:
+                from ..utils.naming import open_in_bin
+
+                f = open_in_bin(path)
+                try:
+                    carry = b""
+                    first = True
+                    while True:
+                        chunk = f.read(chunk_size)
+                        if not chunk:
+                            if carry.strip():
+                                n += self.add_spectra_bytes(
+                                    carry, allow_continuation=not first
+                                )
+                            break
+                        buf = carry + chunk
+                        # keep the trailing incomplete line for the refill
+                        cut = buf.rfind(b"\n") + 1
+                        carry = buf[cut:]
+                        head = buf[:cut]
+                        if head.strip():
+                            n += self.add_spectra_bytes(
+                                head, allow_continuation=not first
+                            )
+                            first = False
+                finally:
+                    close_if_owned(f, path)
+            else:
+                f = open_in(path)
+                try:
+                    n += self.add_spectra_stream(f)
+                finally:
+                    close_if_owned(f, path)
         return n
 
     def add_meta(self, fname: str) -> None:

@@ -169,6 +169,23 @@ class KmerSpace:
         return np.minimum(fwd, rc)
 
 
+_HEX_CHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def hex_labels_vectorized(codes: np.ndarray, width: int) -> list[str]:
+    """Fixed-width lowercase hex labels for a vector of codes, fully
+    vectorized (the per-code ``"%0*x"`` formatting is an ingest hotspot)."""
+    codes = np.asarray(codes, dtype=np.uint64)
+    n = len(codes)
+    if n == 0:
+        return []
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64) * np.uint64(4)
+    nibbles = (codes[:, None] >> shifts[None, :]) & np.uint64(0xF)
+    chars = _HEX_CHARS[nibbles.astype(np.int64)]
+    flat = chars.reshape(n * width).tobytes().decode("ascii")
+    return [flat[i * width : (i + 1) * width] for i in range(n)]
+
+
 def count_codes_dense(space: KmerSpace, codes: np.ndarray, out: np.ndarray) -> None:
     """Accumulate window codes into a dense spectrum array (int64)."""
     np.add.at(out, codes.astype(np.int64), 1)

@@ -71,6 +71,18 @@ def get_lib():
         ]
         lib.kpop_pack_2bit_batch.restype = None
         lib.kpop_pack_2bit_batch.argtypes = [_i8p, _i64, _i64, _u8p, _u8p]
+        lib.kpop_spectra_parse.restype = _i64
+        lib.kpop_spectra_parse.argtypes = [
+            _u8p,
+            _i64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_double),
+            _i8p,
+            _i64p,
+            _i64p,
+            _i64,
+            _i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -137,6 +149,40 @@ def pack_2bit_batch(codes: np.ndarray):
         packed.ctypes.data_as(_u8p), valid.ctypes.data_as(_u8p),
     )
     return packed, valid
+
+
+def spectra_parse(buf: bytes, max_entries: int | None = None):
+    """Parse a ``.KPopSpectra.txt`` buffer into flat line arrays.
+
+    Returns (kinds i8 [n] (0=entry, 1=header), codes u64 [n], counts f64 [n],
+    labels list indexed by header position, consumed bytes).
+    """
+    lib = get_lib()
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    cap = max_entries if max_entries is not None else buf.count(b"\n") + 1
+    codes = np.empty(cap, dtype=np.uint64)
+    counts = np.empty(cap, dtype=np.float64)
+    kinds = np.empty(cap, dtype=np.int8)
+    loff = np.empty(cap, dtype=np.int64)
+    llen = np.empty(cap, dtype=np.int64)
+    consumed = _i64(0)
+    n = lib.kpop_spectra_parse(
+        raw.ctypes.data_as(_u8p),
+        len(buf),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        kinds.ctypes.data_as(_i8p),
+        loff.ctypes.data_as(_i64p),
+        llen.ctypes.data_as(_i64p),
+        cap,
+        ctypes.byref(consumed),
+    )
+    if n < 0:
+        raise ValueError(f"malformed spectra line index {-1 - n}")
+    labels = {}
+    for i in np.nonzero(kinds[:n] == 1)[0]:
+        labels[int(i)] = buf[loff[i] : loff[i] + llen[i]].decode()
+    return kinds[:n], codes[:n], counts[:n], labels, consumed.value
 
 
 def count_dense(codes: np.ndarray, k: int, canonical: bool) -> np.ndarray:

@@ -14,6 +14,7 @@
 //   significant (2 bits/base).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 namespace {
@@ -182,6 +183,89 @@ void kpop_count_dense_batch(const int8_t* codes, int64_t n_seqs,
                             int64_t* spectrum) {
   for (int64_t s = 0; s < n_seqs; ++s)
     kpop_count_dense(codes + s * length, length, k, canonical, spectrum);
+}
+
+// Parse a .KPopSpectra.txt buffer (header lines "\t<label>", entry lines
+// "<hex>\t<count>") into flat arrays.  For each line i < max_entries:
+//   kind 0: entry -> codes[i] = hex value, counts[i] = count
+//   kind 1: header -> label at [label_off[i], label_off[i]+label_len[i])
+// Returns the number of lines parsed; *consumed = bytes of complete lines.
+// Malformed lines return -1 - line_index (caller reports the error).
+int64_t kpop_spectra_parse(const uint8_t* buf, int64_t buflen,
+                           uint64_t* codes, double* counts, int8_t* kinds,
+                           int64_t* label_off, int64_t* label_len,
+                           int64_t max_entries, int64_t* consumed) {
+  int64_t pos = 0, n = 0;
+  *consumed = 0;
+  while (pos < buflen && n < max_entries) {
+    int64_t eol = pos;
+    while (eol < buflen && buf[eol] != '\n') ++eol;
+    if (eol >= buflen) break;  // incomplete line: stop for refill
+    if (eol == pos) {  // empty line: skip
+      pos = eol + 1;
+      *consumed = pos;
+      continue;
+    }
+    if (buf[pos] == '\t') {
+      kinds[n] = 1;
+      label_off[n] = pos + 1;
+      label_len[n] = eol - pos - 1;
+      codes[n] = 0;
+      counts[n] = 0.0;
+    } else {
+      // hex field
+      uint64_t code = 0;
+      int64_t p = pos;
+      while (p < eol && buf[p] != '\t') {
+        uint8_t c = buf[p];
+        uint64_t d;
+        if (c >= '0' && c <= '9') d = c - '0';
+        else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+        else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+        else return -1 - n;
+        code = (code << 4) | d;
+        ++p;
+      }
+      if (p >= eol) return -1 - n;  // no tab
+      ++p;
+      // numeric count (integer fast path, strtod fallback)
+      int64_t q = p;
+      uint64_t ival = 0;
+      bool is_int = true;
+      while (q < eol) {
+        uint8_t c = buf[q];
+        if (c >= '0' && c <= '9') {
+          ival = ival * 10 + (c - '0');
+        } else {
+          is_int = false;
+          break;
+        }
+        ++q;
+      }
+      double val;
+      if (is_int && q > p) {
+        val = (double)ival;
+      } else {
+        char tmp[64];
+        int64_t len = eol - p;
+        if (len <= 0 || len >= 63) return -1 - n;
+        std::memcpy(tmp, buf + p, len);
+        tmp[len] = 0;
+        char* end = nullptr;
+        val = strtod(tmp, &end);
+        if (end == tmp) return -1 - n;
+      }
+      kinds[n] = 0;
+      codes[n] = code;
+      counts[n] = val;
+      label_off[n] = 0;
+      label_len[n] = 0;
+    }
+    ++n;
+    pos = eol + 1;
+    *consumed = pos;
+  }
+  return n;
 }
 
 // Pack int8 base codes (-1 = break) into the 2-bit wire format:
