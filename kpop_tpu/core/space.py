@@ -17,7 +17,6 @@ from typing import List, Tuple
 
 import numpy as np
 
-from .counter_db import upper_median
 from .matrix import IncompatibleGeometries, NamedMatrix
 
 

@@ -12,7 +12,7 @@ round-trip — and projection of new spectra is a batched dense matmul
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import IO, Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

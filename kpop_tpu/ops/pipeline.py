@@ -28,7 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 from ..core.kmers import KmerSpace  # noqa: E402
 from ..core.space import Distance, Metric  # noqa: E402
 from ..core.twister import Twister  # noqa: E402
-from .encode import spectra_from_codes, window_codes_batch  # noqa: E402
+from .encode import window_codes_batch  # noqa: E402
 
 
 @dataclass

@@ -13,8 +13,6 @@ round-trip transparently.
 from __future__ import annotations
 
 import os
-from typing import Sequence
-
 import numpy as np
 
 from ..config import jax_setup
