@@ -72,6 +72,9 @@ def main(argv=None) -> int:
     p.opt(["-k", "--k-mer-size"], "<k_mer_length>",
           ["k-mer length (must match the twister's k-mer labels)"],
           lambda a: state.update(k=a.get_int_pos()))
+    p.opt(["-C", "--content"], "'DNA-ss'|'DNA-ds'|'protein'",
+          ["how file contents should be interpreted"],
+          lambda a: state.update(content=a.get()), "DNA-ds")
     p.opt(["-o", "--output"], "<summary_file_prefix>",
           ["output summary prefix ('.KPopSummary.txt' unless '/dev/*')"],
           lambda a: state.update(output=a.get()))
@@ -119,32 +122,87 @@ def main(argv=None) -> int:
             sys.stderr.write(f"(KPopClassify): inferred k={k}\n")
     space = KmerSpace(state["content"], k)
 
-    from ..config import jax_setup
+    from ..ops.encode import device_k_max
 
-    jax = jax_setup()
-    import jax.numpy as jnp
-
-    from ..ops.encode import encode_reads_host
-    from ..ops.pipeline import (
-        build_classifier_params,
-        count_spectra,
-        distances_to_classes,
-        project,
+    use_device = (
+        space.k <= device_k_max(space.base)
+        and state["distance"].kind == "euclidean"
     )
+    if use_device:
+        from ..config import jax_setup
 
-    params = build_classifier_params(
-        space,
-        twister,
-        np.asarray(targets.matrix.data, dtype=np.float64),
-        distance=state["distance"],
-        metric=state["metric"],
-    )
+        jax = jax_setup()
+        import jax.numpy as jnp
 
-    @jax.jit
-    def dmat_of_batch(p, base_codes):
-        spectra = count_spectra(p, base_codes)
-        twisted = project(p, spectra)
-        return distances_to_classes(p, twisted)
+        from ..ops.encode import encode_reads_host
+        from ..ops.pipeline import (
+            build_classifier_params,
+            count_spectra,
+            distances_to_classes,
+            project,
+        )
+
+        params = build_classifier_params(
+            space,
+            twister,
+            np.asarray(targets.matrix.data, dtype=np.float64),
+            distance=state["distance"],
+            metric=state["metric"],
+        )
+
+        @jax.jit
+        def _dmat_device(p, base_codes):
+            spectra = count_spectra(p, base_codes)
+            twisted = project(p, spectra)
+            return distances_to_classes(p, twisted)
+
+        def dmat_of_seqs(seqs):
+            codes = encode_reads_host(seqs) if space.base == 4 else None
+            if codes is None:
+                from ..core.kmers import encode_protein
+
+                enc = [encode_protein(s) for s in seqs]
+                L = max((len(e) for e in enc), default=1)
+                codes = np.full((len(enc), max(L, space.k)), -1, dtype=np.int8)
+                for i, e in enumerate(enc):
+                    codes[i, : len(e)] = e
+            return np.asarray(
+                _dmat_device(params, jnp.asarray(codes)), dtype=np.float64
+            )
+    else:
+        # host fallback: exact float64 path (protein with large k, or
+        # non-euclidean distances, which the fused device kernel doesn't
+        # currently cover)
+        from ..core.count import spectrum_of_sequences
+        from ..core.matrix import NamedMatrix
+        from ..core.space import distance_rowwise
+
+        metric_vec = twister.metrics_vector(state["metric"])
+        tmat = NamedMatrix(
+            list(targets.matrix.row_names),
+            list(targets.matrix.col_names),
+            np.asarray(targets.matrix.data, dtype=np.float64),
+        )
+
+        def dmat_of_seqs(seqs):
+            entries = []
+            for s in seqs:
+                codes, counts = spectrum_of_sequences(space, [s])
+                entries.append(
+                    [
+                        (space.code_to_hex(int(c)), float(v))
+                        for c, v in zip(codes, counts)
+                    ]
+                )
+            projected = twister.project_entries(entries)
+            qmat = NamedMatrix(
+                ["q%d" % i for i in range(len(seqs))],
+                list(targets.matrix.col_names),
+                projected,
+            )
+            return distance_rowwise(
+                state["distance"], metric_vec, tmat, qmat
+            ).data
 
     out_path = with_ext(state["output"] or "/dev/stdout", SUMMARY_EXT)
     out = open_out(out_path)
@@ -159,10 +217,7 @@ def main(argv=None) -> int:
             nonlocal n_done
             if not batch_tags:
                 return
-            codes = encode_reads_host(batch_seqs)
-            dmat = np.asarray(
-                dmat_of_batch(params, jnp.asarray(codes)), dtype=np.float64
-            )
+            dmat = dmat_of_seqs(batch_seqs)
             for tag, row in zip(batch_tags, dmat):
                 out.write(
                     summarize_distance_row(req_len, tag, row, col_names) + "\n"
@@ -175,15 +230,19 @@ def main(argv=None) -> int:
 
         import contextlib
 
-        prof = (
-            jax.profiler.trace(state["profile"])
-            if state["profile"]
-            else contextlib.nullcontext()
-        )
+        if state["profile"]:
+            from ..config import jax_setup
+
+            prof = jax_setup().profiler.trace(state["profile"])
+        else:
+            prof = contextlib.nullcontext()
+        # segment separator must break k-mer windows: any character outside
+        # the alphabet ('N' for DNA; protein uses '*' since N is a residue)
+        sep = "N" if state["content"].startswith("DNA") else "*"
         with prof:
             for tag, segments in iter_reads(state["inputs"]):
                 batch_tags.append(tag)
-                batch_seqs.append("N".join(segments))
+                batch_seqs.append(sep.join(segments))
                 if len(batch_tags) >= state["batch"]:
                     flush()
             flush()

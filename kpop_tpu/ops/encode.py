@@ -24,21 +24,36 @@ import jax.numpy as jnp  # noqa: E402
 DEVICE_K_MAX = 15
 
 
-def window_codes_batch(codes: "jnp.ndarray", k: int, canonical: bool):
+def device_k_max(base: int) -> int:
+    """Largest k whose codes fit int32 for the given alphabet size."""
+    k = 0
+    while base ** (k + 1) < 2**31:
+        k += 1
+    return k
+
+
+def window_codes_batch(
+    codes: "jnp.ndarray", k: int, canonical: bool, base: int = 4
+):
     """``[B, L]`` int8/int32 base codes -> (window codes ``[B, L-k+1]`` int32,
     valid mask ``[B, L-k+1]`` bool).
 
     For canonical (DNA double-stranded) encoding the returned code is
-    ``min(forward, revcomp)`` exactly as in the host reference.
+    ``min(forward, revcomp)`` exactly as in the host reference.  ``base``
+    is 4 for DNA and 20 for protein (canonical is DNA-only).
     """
-    if k > DEVICE_K_MAX:
-        raise ValueError(f"device path supports k <= {DEVICE_K_MAX}, got {k}")
+    if k > device_k_max(base):
+        raise ValueError(
+            f"device path supports k <= {device_k_max(base)} for base "
+            f"{base}, got {k}"
+        )
+    if canonical and base != 4:
+        raise ValueError("canonical encoding is DNA-only")
     c = codes.astype(jnp.int32)
     B, L = c.shape
     W = L - k + 1
     if W <= 0:
         raise ValueError(f"sequences shorter than k: L={L}, k={k}")
-    base = 4
     fwd = jnp.zeros((B, W), dtype=jnp.int32)
     ok = jnp.ones((B, W), dtype=jnp.bool_)
     mult = base ** (k - 1)

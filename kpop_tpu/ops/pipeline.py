@@ -49,6 +49,7 @@ class ClassifierParams:
     class_norms: "jnp.ndarray"  # [C]
     k: int
     canonical: bool
+    base: int = 4  # alphabet size: 4 DNA, 20 protein
 
     @property
     def n_kmers(self) -> int:
@@ -95,6 +96,7 @@ def build_classifier_params(
         class_norms=jnp.asarray(cls_norms, dtype=dtype),
         k=space.k,
         canonical=space.canonical,
+        base=space.base,
     )
 
 
@@ -105,7 +107,7 @@ def count_spectra(params: ClassifierParams, base_codes: "jnp.ndarray"):
     XLA from fusing the two, which otherwise blows up TPU compile time by
     >10x at genome scale.
     """
-    codes, ok = window_codes_batch(base_codes, params.k, params.canonical)
+    codes, ok = window_codes_batch(base_codes, params.k, params.canonical, params.base)
     B, W = codes.shape
     V = params.n_vocab
     vocab_idx = params.vocab_lut[codes]
@@ -135,7 +137,7 @@ def project_reads(
     twister row), duplicates accumulate, normalization divides by the total
     count of known k-mers.
     """
-    codes, ok = window_codes_batch(base_codes, params.k, params.canonical)
+    codes, ok = window_codes_batch(base_codes, params.k, params.canonical, params.base)
     B, W = codes.shape
     V = params.n_vocab
     d = params.twister.shape[1]
@@ -266,5 +268,5 @@ class TpuClassifier:
 jax.tree_util.register_dataclass(
     ClassifierParams,
     data_fields=("vocab_lut", "twister", "metric", "class_coords", "class_norms"),
-    meta_fields=("k", "canonical"),
+    meta_fields=("k", "canonical", "base"),
 )

@@ -240,3 +240,51 @@ def test_centroids_splits_cli(tmp_path):
     )
     lines = (tmp_path / "SP.PhyloSplits.txt").read_text().splitlines()
     assert len(lines) >= 6  # recursive bipartition down to singletons
+
+
+def test_classify_protein_and_minkowski(tmp_path):
+    """kpop-classify host fallback paths: protein content and non-euclidean
+    distance must match the twistdb chain."""
+    rng = np.random.default_rng(9)
+    alpha = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    fams = [rng.integers(0, 20, size=100) for _ in range(3)]
+
+    def mut(g, n):
+        g = g.copy()
+        pos = rng.choice(len(g), size=n, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 20, size=n)) % 20
+        return g
+
+    import io as _io
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.kmers import KmerSpace
+
+    space = KmerSpace("protein", 3)
+    db = CounterDB()
+    for fi, fam in enumerate(fams):
+        seqs = ["".join(alpha[mut(fam, 5)]) for _ in range(3)]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(_io.StringIO(
+            "\tF%d\n" % fi + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(c)), v)
+                for c, v in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    tests_fa = "\n".join(
+        ">T%d-F%d\n%s" % (i, i % 3, "".join(alpha[mut(fams[i % 3], 5)]))
+        for i in range(9)
+    )
+    (tmp_path / "test.fasta").write_text(tests_fa + "\n")
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    # protein (k=3 fits the device path: base-20 codes) + minkowski (host)
+    for extra, name in (("", "P1"), ("--distance 'minkowski(3)'", "P2")):
+        sh(
+            "kpop-classify -T TW -t TW -C protein -f test.fasta %s -o %s"
+            % (extra, name),
+            tmp_path,
+        )
+        lines = (tmp_path / (name + ".KPopSummary.txt")).read_text().splitlines()
+        assert len(lines) == 9
+        for ln in lines:
+            p = ln.split("\t")
+            assert p[5] == p[0].split("-")[1], ln
