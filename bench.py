@@ -49,7 +49,7 @@ def main() -> None:
     C = 512  # classes
     B = 128  # sequences per batch
     L = 30_000  # SARS-CoV-2-scale genome length
-    n_batches = 48
+    n_batches = int(os.environ.get("KPOP_BENCH_BATCHES", "24"))
 
     rng = np.random.default_rng(0)
     lut = np.full(n_codes + 1, V, dtype=np.int32)
@@ -137,8 +137,11 @@ def main() -> None:
         return dt
 
     # two passes; report the steadier (faster) one — transfer times through
-    # tunneled dev backends vary with contention
-    dt = min(timed_pass(), timed_pass())
+    # tunneled dev backends vary with contention.  Skip the second pass when
+    # the first was already slow (keeps worst-case wall time bounded).
+    dt = timed_pass()
+    if dt < 60.0:
+        dt = min(dt, timed_pass())
 
     seqs_per_s = n_batches * B / dt
     print(
