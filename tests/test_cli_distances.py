@@ -95,3 +95,25 @@ def test_large_k_cli_roundtrip(tmp_path):
     # total count equals number of valid windows
     total = sum(int(ln.split("\t")[1]) for ln in lines[1:])
     assert total == 12 * 20 - 16 + 1
+
+
+def test_countdb_distances_backend_jax(tmp_path):
+    (tmp_path / "a.fasta").write_text(
+        ">x1\nACGTACGTACGTACGTAAAA\n>x2\nACGTACGTACGTACGTAAAC\n"
+        ">y1\nTTTTGGGGCCCCAAAATTTT\n"
+    )
+    sh(
+        "kpop-count -k 4 -L -f a.fasta -o S && "
+        "kpop-countdb -k S --distances '~.' '~.' DH && "
+        "kpop-countdb -k S --backend jax --distances '~.' '~.' DJ",
+        tmp_path,
+    )
+    from kpop_tpu.core.matrix import KPopMatrix, MatrixType
+
+    dh = KPopMatrix.of_binary(MatrixType.DMATRIX, str(tmp_path / "DH"))
+    dj = KPopMatrix.of_binary(MatrixType.DMATRIX, str(tmp_path / "DJ"))
+    assert dh.matrix.row_names == dj.matrix.row_names
+    np.testing.assert_allclose(
+        np.asarray(dj.matrix.data), np.asarray(dh.matrix.data),
+        rtol=2e-5, atol=1e-6,
+    )
