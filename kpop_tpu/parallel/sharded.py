@@ -32,7 +32,31 @@ from .mesh import DATA_AXIS, KMER_AXIS, pad_to_multiple  # noqa: E402
 # ---------------- CA ----------------
 
 
-def _ca_math(table, n_dims: int):
+def _gram_compensated(S, n_blocks: int = 32):
+    """S^T S with blocked Kahan-compensated accumulation: recovers most of
+    the float64 accuracy lost to long f32 summation chains over the k-mer
+    axis without paying TPU-emulated f64 matmuls."""
+    K = S.shape[0]
+    blk = max(1, K // n_blocks)
+    pad = (-K) % blk
+    Sp = jnp.pad(S, ((0, pad), (0, 0)))
+    blocks = Sp.reshape(-1, blk, S.shape[1])
+
+    def body(carry, b):
+        acc, comp = carry
+        g = jnp.dot(b.T, b, preferred_element_type=S.dtype)
+        y = g - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return (t, comp), None
+
+    ns = S.shape[1]
+    init = (jnp.zeros((ns, ns), S.dtype), jnp.zeros((ns, ns), S.dtype))
+    (acc, _), _ = jax.lax.scan(body, init, blocks)
+    return acc
+
+
+def _ca_math(table, n_dims: int, compensated: bool = True):
     """The CA factorization on a (possibly sharded) [K, ns] table.
 
     Pure jnp; sharding of ``table`` along axis 0 makes XLA compute the
@@ -47,7 +71,10 @@ def _ca_math(table, n_dims: int):
     S = (P_ - r[:, None] * c[None, :]) / jnp.sqrt(
         r_safe[:, None] * c_safe[None, :]
     )
-    G = jnp.dot(S.T, S, preferred_element_type=S.dtype)  # [ns, ns] replicated
+    if compensated:
+        G = _gram_compensated(S)  # [ns, ns] replicated
+    else:
+        G = jnp.dot(S.T, S, preferred_element_type=S.dtype)
     evals, evecs = jnp.linalg.eigh(G)  # ascending
     evals = evals[::-1][:n_dims]
     V = evecs[:, ::-1][:, :n_dims]

@@ -156,3 +156,39 @@ def test_distill_shapes():
     assert m.n_rows == 18
     assert m.n_cols == 3
     assert m.row_names[0] == "InnerAvgMean"
+
+
+def test_table_with_metadata_rows(tmp_path):
+    db = make_db()
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write("label\tclass\torigin\nS1\tC1\tuk\nS2\tC2\tfr\nS3\tC1\tuk\n")
+        path = f.name
+    try:
+        db.add_meta(path)
+    finally:
+        os.unlink(path)
+    filt = TableFilter(print_metadata=True)
+    db.to_table(str(tmp_path / "T"), filt)
+    lines = open(str(tmp_path / "T.KPopCounter.txt")).read().splitlines()
+    # metadata rows come before k-mer rows (lib/KMerDB.ml:1110-1121)
+    assert lines[0] == "\tS1\tS2\tS3"
+    assert lines[1] == "class\tC1\tC2\tC1"
+    assert lines[2] == "origin\tuk\tfr\tuk"
+    assert lines[3].startswith("00a\t")
+    # transposed: metadata become columns (lib/KMerDB.ml:1038-1053)
+    filt_t = TableFilter(print_metadata=True, transpose=True)
+    db.to_table(str(tmp_path / "TT"), filt_t)
+    tl = open(str(tmp_path / "TT.KPopCounter.txt")).read().splitlines()
+    assert tl[0] == "\tclass\torigin\t00a\t00b\t00c"
+    assert tl[1].split("\t")[:3] == ["S1", "C1", "uk"]
+
+
+def test_table_without_row_names(tmp_path):
+    db = make_db()
+    filt = TableFilter(print_row_names=False)
+    db.to_table(str(tmp_path / "T"), filt)
+    lines = open(str(tmp_path / "T.KPopCounter.txt")).read().splitlines()
+    assert lines[0] == "S1\tS2\tS3"  # no leading tab
+    assert "\t" in lines[1] and not lines[1].startswith("00")
