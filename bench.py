@@ -49,7 +49,7 @@ def main() -> None:
     C = 512  # classes
     B = 128  # sequences per batch
     L = 30_000  # SARS-CoV-2-scale genome length
-    n_batches = int(os.environ.get("KPOP_BENCH_BATCHES", "24"))
+    n_batches = int(os.environ.get("KPOP_BENCH_BATCHES", "12"))
 
     rng = np.random.default_rng(0)
     lut = np.full(n_codes + 1, V, dtype=np.int32)
@@ -106,12 +106,15 @@ def main() -> None:
         mean, std, med, mad, top, idx = summarize_batch(dmat, 2)
         return idx, top
 
-    step = jax.jit(_step_impl)
-    step_packed = jax.jit(
-        lambda p, packed, valid: _step_impl(
-            p, unpack_2bit_batch(packed, valid, L)
+    # only one program is compiled (remote compile services can be slow)
+    if use_native:
+        step_packed = jax.jit(
+            lambda p, packed, valid: _step_impl(
+                p, unpack_2bit_batch(packed, valid, L)
+            )
         )
-    )
+    else:
+        step = jax.jit(_step_impl)
 
     def encode_and_dispatch():
         """Host parse+encode, pack to the 2-bit wire format when the native
@@ -123,8 +126,13 @@ def main() -> None:
         return step(params, jnp.asarray(codes))
 
     # warm up / compile (params travel as arguments, never as constants)
+    t_warm = time.perf_counter()
     _ = jax.device_get(encode_and_dispatch())  # forces real completion
     # (block_until_ready can be unreliable over tunneled backends)
+    sys.stderr.write(
+        "bench: warmup (compile+first batch) %.1fs\n"
+        % (time.perf_counter() - t_warm)
+    )
 
     def timed_pass() -> float:
         t0 = time.perf_counter()
@@ -156,9 +164,53 @@ def main() -> None:
     )
 
 
+def _supervise() -> int:
+    """Run the benchmark in a watchdogged subprocess: the dev TPU tunnel's
+    compile service sometimes stalls for many minutes, and a hung XLA
+    compile cannot be interrupted in-process.  Falls back to a (labelled)
+    CPU measurement so a result is always produced."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    attempts = [
+        (480, {}),
+        (300, {}),
+        (600, {"KPOP_PLATFORM": "cpu", "KPOP_BENCH_BATCHES": "2"}),
+    ]
+    for timeout_s, extra_env in attempts:
+        env = dict(os.environ, KPOP_BENCH_CHILD="1", **extra_env)
+        try:
+            res = subprocess.run(
+                [sys.executable, here],
+                env=env,
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench attempt timed out after {timeout_s}s "
+                f"(env={extra_env}); retrying\n"
+            )
+            continue
+        line = next(
+            (l for l in res.stdout.splitlines() if l.startswith("{")), None
+        )
+        if res.returncode == 0 and line:
+            data = json.loads(line)
+            if extra_env.get("KPOP_PLATFORM") == "cpu":
+                data["unit"] += " (cpu fallback: TPU tunnel stalled)"
+            print(json.dumps(data))
+            return 0
+        sys.stderr.write(
+            f"bench attempt failed rc={res.returncode}: "
+            f"{res.stderr[-500:]}\n"
+        )
+    return 1
+
+
 if __name__ == "__main__":
-    try:
+    if os.environ.get("KPOP_BENCH_CHILD"):
         main()
-    except Exception as exc:  # tunneled TPU backends can be flaky; retry once
-        sys.stderr.write(f"bench attempt 1 failed ({exc!r}); retrying\n")
-        main()
+    else:
+        sys.exit(_supervise())
