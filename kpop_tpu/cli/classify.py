@@ -28,6 +28,58 @@ from ..utils.cli import ParseError, Parser
 from ..utils.naming import SUMMARY_EXT, close_if_owned, open_out, with_ext
 
 
+class AmbiguousK(ValueError):
+    pass
+
+
+def infer_k(
+    content: str, kmer_names: list[str], k: int = 0, verbose: bool = False
+) -> int:
+    """Infer (or validate) k from the twister's hex k-mer labels.
+
+    Hex width alone is not injective in k (e.g. DNA k=5 and k=6 both use 3
+    hex digits), so every candidate with the right width is checked against
+    the labels' maximum code; a supplied ``k`` is validated the same way and
+    a mismatch is a hard error rather than silent misclassification.  When
+    several k remain consistent the smallest is used with a warning — pass
+    ``-k`` to silence it.
+    """
+    if not kmer_names:
+        raise AmbiguousK("twister has no k-mer labels; pass -k")
+    width = len(kmer_names[0])
+    max_code = max(int(n, 16) for n in kmer_names)
+    k_limit = 30 if content.startswith("DNA") else 12
+    if k:
+        sp = KmerSpace(content, k)
+        if sp.hex_width != width or max_code >= sp.n_kmers:
+            raise AmbiguousK(
+                f"k={k} is inconsistent with the twister's labels "
+                f"(width {width}, max code {max_code:#x}); "
+                f"expected width {sp.hex_width}, codes < {sp.n_kmers:#x}"
+            )
+        return k
+    consistent = [
+        c
+        for c in range(1, k_limit + 1)
+        if KmerSpace(content, c).hex_width == width
+        and max_code < KmerSpace(content, c).n_kmers
+    ]
+    if not consistent:
+        raise AmbiguousK(
+            f"cannot infer k from labels (width {width}, max code "
+            f"{max_code:#x}); pass -k"
+        )
+    k = consistent[0]
+    if len(consistent) > 1:
+        sys.stderr.write(
+            f"(KPopClassify): WARNING k is ambiguous from labels alone "
+            f"(candidates {consistent}); using k={k} — pass -k to override\n"
+        )
+    elif verbose:
+        sys.stderr.write(f"(KPopClassify): inferred k={k}\n")
+    return k
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     state = {
@@ -110,24 +162,13 @@ def main(argv=None) -> int:
 
     twister = Twister.of_binary(state["twister"])
     targets = KPopMatrix.of_binary(MatrixType.TWISTED, state["targets"])
-    k = state["k"]
-    if k == 0:
-        # infer k from the twister's hex label width (2 bases per hex digit)
-        width = len(twister.kmer_names[0])
-        for cand in range(1, 31):
-            if KmerSpace(state["content"], cand).hex_width == width:
-                k = cand
-                break
-        if state["verbose"]:
-            sys.stderr.write(f"(KPopClassify): inferred k={k}\n")
+    k = infer_k(
+        state["content"], twister.kmer_names, state["k"],
+        verbose=state["verbose"],
+    )
     space = KmerSpace(state["content"], k)
 
-    from ..ops.encode import device_k_max
-
-    use_device = (
-        space.k <= device_k_max(space.base)
-        and state["distance"].kind == "euclidean"
-    )
+    use_device = state["distance"].kind == "euclidean"
     if use_device:
         from ..config import jax_setup
 

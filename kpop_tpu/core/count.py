@@ -50,7 +50,9 @@ class SpectrumAccumulator:
     sparse_counts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
     def __post_init__(self):
-        if self.space.k <= DENSE_K_MAX and self.dense is None:
+        # dense only when the code space itself is small (4^DENSE_K_MAX
+        # entries); a base-20 protein space outgrows that at much lower k
+        if self.space.n_kmers <= 4**DENSE_K_MAX and self.dense is None:
             self.dense = np.zeros(self.space.n_kmers, dtype=np.int64)
 
     def add(self, codes: np.ndarray) -> None:

@@ -42,7 +42,7 @@ class ClassifierParams:
     size.
     """
 
-    vocab_lut: "jnp.ndarray"  # [4^k + 1] int32: code -> twister column (or V)
+    vocab_lut: "jnp.ndarray | None"  # [base^k + 1] int32: code -> column (or V)
     twister: "jnp.ndarray"  # [V, d] float: twister^T (vocab-indexed)
     metric: "jnp.ndarray"  # [d]
     class_coords: "jnp.ndarray"  # [C, d]
@@ -50,10 +50,14 @@ class ClassifierParams:
     k: int
     canonical: bool
     base: int = 4  # alphabet size: 4 DNA, 20 protein
-
-    @property
-    def n_kmers(self) -> int:
-        return len(self.vocab_lut) - 1
+    # Large-k path (base^k too big for a dense LUT): the vocabulary as
+    # two-limb codes sorted by (hi, lo); lookup is a two-table cuckoo hash
+    # (worst-case two probes) or, if its build failed, a binary search over
+    # the sorted limbs.  The twister rows are stored in sorted-code order.
+    vocab_hi: "jnp.ndarray | None" = None  # [V] int32
+    vocab_lo: "jnp.ndarray | None" = None  # [V] int32
+    cuckoo: "jnp.ndarray | None" = None  # [6, S] int32 (ops/cuckoo.py)
+    cuckoo_seeds: tuple = ()  # static hash seeds
 
     @property
     def n_vocab(self) -> int:
@@ -70,34 +74,86 @@ def build_classifier_params(
 ) -> ClassifierParams:
     """Assemble device parameters from host artefacts.
 
-    The twister's k-mer hex labels become a dense lookup table over the full
-    4^k code space (unknown k-mers route to a zero row, reproducing the
-    reference's silent dropping, lib/Twister.ml:167-169).
+    For ``k <= lut_k_max`` the twister's k-mer hex labels become a dense
+    lookup table over the full base^k code space (unknown k-mers route to a
+    zero row, reproducing the reference's silent dropping,
+    lib/Twister.ml:167-169).  For larger k — the reference allows DNA k up
+    to 30 (bin/KPopCount.ml:111-115) — the vocabulary is stored as sorted
+    two-limb codes and looked up by binary search; the twister rows are
+    reordered to the sorted-code order.
     """
+    from .encode import lut_k_max, split_k
+
     distance = distance or Distance.of_string("euclidean")
     metric = metric or Metric.of_string("powers(1,1,2)")
-    n_codes = space.n_kmers
     kmer_codes = np.array(
-        [space.hex_to_code(h) for h in twister.kmer_names], dtype=np.int64
+        [space.hex_to_code(h) for h in twister.kmer_names], dtype=np.uint64
     )
     V = len(kmer_codes)
-    lut = np.full(n_codes + 1, V, dtype=np.int32)
-    lut[kmer_codes] = np.arange(V, dtype=np.int32)
     tw = np.asarray(twister.twister.matrix.data, dtype=np.float64)  # [d, V]
     mvec = twister.metrics_vector(metric)
     from ..core.space import normalizations
 
     cls_norms = normalizations(distance, mvec, class_coords)
+    if space.k <= lut_k_max(space.base):
+        lut = np.full(space.n_kmers + 1, V, dtype=np.int32)
+        lut[kmer_codes.astype(np.int64)] = np.arange(V, dtype=np.int32)
+        vocab = dict(vocab_lut=jnp.asarray(lut))
+        tw_rows = tw.T
+    else:
+        from .cuckoo import build_cuckoo
+
+        _k_hi, k_lo = split_k(space.k, space.base)
+        limb = np.uint64(space.base**k_lo)
+        order = np.argsort(kmer_codes, kind="stable")
+        sorted_codes = kmer_codes[order]
+        sorted_hi = (sorted_codes // limb).astype(np.int32)
+        sorted_lo = (sorted_codes % limb).astype(np.int32)
+        vocab = dict(vocab_lut=None)
+        built = build_cuckoo(sorted_hi, sorted_lo)
+        if built is not None:
+            table, seeds = built
+            vocab.update(cuckoo=jnp.asarray(table), cuckoo_seeds=seeds)
+        else:  # pathological vocabulary: sorted-limb binary search fallback
+            vocab.update(
+                vocab_hi=jnp.asarray(sorted_hi),
+                vocab_lo=jnp.asarray(sorted_lo),
+            )
+        tw_rows = tw.T[order]
     return ClassifierParams(
-        vocab_lut=jnp.asarray(lut),
-        twister=jnp.asarray(tw.T, dtype=dtype),
+        twister=jnp.asarray(tw_rows, dtype=dtype),
         metric=jnp.asarray(mvec, dtype=dtype),
         class_coords=jnp.asarray(class_coords, dtype=dtype),
         class_norms=jnp.asarray(cls_norms, dtype=dtype),
         k=space.k,
         canonical=space.canonical,
         base=space.base,
+        **vocab,
     )
+
+
+def vocab_lookup(params: ClassifierParams, base_codes: "jnp.ndarray"):
+    """``[B, L]`` base codes -> (vocab index ``[B, W]`` in [0..V], with V =
+    miss/invalid).  Dispatches (at trace time) between the dense-LUT gather
+    (small k) and the two-limb sorted-vocabulary binary search (large k)."""
+    V = params.n_vocab
+    if params.vocab_lut is not None:
+        codes, ok = window_codes_batch(
+            base_codes, params.k, params.canonical, params.base
+        )
+        return jnp.where(ok, params.vocab_lut[codes], V)
+    from .encode import searchsorted_2limb, window_codes_batch_wide
+
+    hi, lo, ok = window_codes_batch_wide(
+        base_codes, params.k, params.canonical, params.base
+    )
+    if params.cuckoo is not None:
+        from .cuckoo import cuckoo_lookup
+
+        idx = cuckoo_lookup(params.cuckoo, params.cuckoo_seeds, V, hi, lo)
+    else:
+        idx = searchsorted_2limb(params.vocab_hi, params.vocab_lo, hi, lo)
+    return jnp.where(ok, idx, V)
 
 
 def count_spectra(params: ClassifierParams, base_codes: "jnp.ndarray"):
@@ -107,11 +163,9 @@ def count_spectra(params: ClassifierParams, base_codes: "jnp.ndarray"):
     XLA from fusing the two, which otherwise blows up TPU compile time by
     >10x at genome scale.
     """
-    codes, ok = window_codes_batch(base_codes, params.k, params.canonical, params.base)
-    B, W = codes.shape
     V = params.n_vocab
-    vocab_idx = params.vocab_lut[codes]
-    tgt = jnp.where(ok, vocab_idx, V)
+    tgt = vocab_lookup(params, base_codes)
+    B, W = tgt.shape
     tgt = jax.lax.optimization_barrier(tgt)
     out = jnp.zeros((B, V + 1), dtype=params.twister.dtype)
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
@@ -137,11 +191,10 @@ def project_reads(
     twister row), duplicates accumulate, normalization divides by the total
     count of known k-mers.
     """
-    codes, ok = window_codes_batch(base_codes, params.k, params.canonical, params.base)
-    B, W = codes.shape
     V = params.n_vocab
     d = params.twister.shape[1]
-    idx = jnp.where(ok, params.vocab_lut[codes], V)  # [B, W]
+    idx = vocab_lookup(params, base_codes)  # [B, W]
+    B, W = idx.shape
     known = (idx < V).astype(params.twister.dtype)
     acc_counts = known.sum(axis=1)  # [B]
     tw_ext = jnp.concatenate(
@@ -267,6 +320,15 @@ class TpuClassifier:
 
 jax.tree_util.register_dataclass(
     ClassifierParams,
-    data_fields=("vocab_lut", "twister", "metric", "class_coords", "class_norms"),
-    meta_fields=("k", "canonical", "base"),
+    data_fields=(
+        "vocab_lut",
+        "twister",
+        "metric",
+        "class_coords",
+        "class_norms",
+        "vocab_hi",
+        "vocab_lo",
+        "cuckoo",
+    ),
+    meta_fields=("k", "canonical", "base", "cuckoo_seeds"),
 )

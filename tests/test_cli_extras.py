@@ -288,3 +288,97 @@ def test_classify_protein_and_minkowski(tmp_path):
         for ln in lines:
             p = ln.split("\t")
             assert p[5] == p[0].split("-")[1], ln
+
+
+def test_classify_large_k_device_matches_host_chain(tmp_path):
+    """k=16 (beyond any dense-LUT 4^k table) must run the fused device path
+    (two-limb codes + sorted-vocab search) and agree with the host float64
+    chain kpop-count | kpop-twistdb -k | -s (reference README.md:93)."""
+    import io as _io
+
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+
+    rng = np.random.default_rng(17)
+    k = 16
+    space = KmerSpace("DNA-ds", k)
+    bases = np.array(list("ACGT"))
+    fams = [rng.integers(0, 4, size=600) for _ in range(4)]
+
+    def mut(g, n):
+        g = g.copy()
+        pos = rng.choice(len(g), size=n, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 4, size=n)) % 4
+        return g
+
+    db = CounterDB()
+    for fi, fam in enumerate(fams):
+        seqs = ["".join(bases[mut(fam, 15)]) for _ in range(3)]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(_io.StringIO(
+            "\tF%d\n" % fi + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(c)), v)
+                for c, v in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    tests_fa = "\n".join(
+        ">T%d-F%d\n%s" % (i, i % 4, "".join(bases[mut(fams[i % 4], 15)]))
+        for i in range(8)
+    )
+    (tmp_path / "test.fasta").write_text(tests_fa + "\n")
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    # host chain: count -> project (project_entries) -> summarize
+    sh(
+        "kpop-count -k %d -L -f test.fasta -o /dev/stdout | "
+        "kpop-twistdb -i T TW -k /dev/stdin -o t Q && "
+        "kpop-twistdb -i T TW -i t TW -s Q HostSum" % k,
+        tmp_path,
+    )
+    # fused device path (k inferred from labels must resolve to 16)
+    sh("kpop-classify -T TW -t TW -f test.fasta -o DevSum", tmp_path)
+    host = sorted((tmp_path / "HostSum.KPopSummary.txt").read_text().splitlines())
+    dev = sorted((tmp_path / "DevSum.KPopSummary.txt").read_text().splitlines())
+    assert len(host) == len(dev) == 8
+    for lh, ld in zip(host, dev):
+        ph, pd = lh.split("\t"), ld.split("\t")
+        assert ph[0] == pd[0]
+        assert ph[5] == pd[5], f"class mismatch {ph[0]}: {pd[5]} != {ph[5]}"
+        for a, b in zip(pd[1:5], ph[1:5]):
+            # device distances are float32; host chain is float64
+            assert abs(float(a) - float(b)) < 5e-4 * max(1.0, abs(float(b)))
+
+
+def test_classify_k_inference_validation(tmp_path):
+    """Explicit -k inconsistent with the twister's labels must fail loudly
+    (hex width is not injective in k; silent misclassification is worse)."""
+    import io as _io
+
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+
+    rng = np.random.default_rng(23)
+    space = KmerSpace("DNA-ds", 6)
+    bases = np.array(list("ACGT"))
+    db = CounterDB()
+    for i in range(3):
+        seqs = ["".join(bases[rng.integers(0, 4, size=200)])]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(_io.StringIO(
+            "\tS%d\n" % i + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(c)), v)
+                for c, v in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    (tmp_path / "t.fasta").write_text(
+        ">q\n%s\n" % "".join(bases[rng.integers(0, 4, size=100)]))
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    # wrong k: width of k=6 labels is 3 hex digits; k=9 expects 5
+    res = sh(
+        "kpop-classify -T TW -t TW -k 9 -f t.fasta -o X", tmp_path,
+        check=False,
+    )
+    assert res.returncode != 0
+    assert "inconsistent" in (res.stderr + res.stdout)
+    # k=6 k-mers use codes >= 4^5, so inference is unambiguous here
+    sh("kpop-classify -T TW -t TW -f t.fasta -o OK", tmp_path)
+    assert (tmp_path / "OK.KPopSummary.txt").exists()

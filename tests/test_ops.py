@@ -143,3 +143,172 @@ def test_summarize_batch_semantics(jnp):
     np.testing.assert_allclose(top, srt[:, :2], rtol=1e-6)
     for i in range(6):
         assert dmat[i, idx[i, 0]] == srt[i, 0]
+
+
+@pytest.mark.parametrize(
+    "content,k",
+    [("DNA-ds", 15), ("DNA-ds", 18), ("DNA-ds", 30), ("DNA-ss", 30),
+     ("protein", 12)],
+)
+def test_window_codes_wide_matches_host(jnp, content, k):
+    """Two-limb device codes must recombine to the host uint64 codes for
+    every k the reference supports (bin/KPopCount.ml:111-115)."""
+    from kpop_tpu.core.kmers import encode_protein
+    from kpop_tpu.ops.encode import split_k, window_codes_batch_wide
+
+    rng = np.random.default_rng(4)
+    space = KmerSpace(content, k)
+    if content == "protein":
+        alpha = list("ACDEFGHIKLMNPQRSTVWYX")
+        seqs = ["".join(rng.choice(alpha, size=50)) for _ in range(5)]
+        enc = [encode_protein(s) for s in seqs]
+        L = max(len(e) for e in enc)
+        batch = np.full((len(enc), L), -1, dtype=np.int8)
+        for i, e in enumerate(enc):
+            batch[i, : len(e)] = e
+        host_enc = enc
+    else:
+        from kpop_tpu.ops.encode import encode_reads_host
+
+        seqs = random_seqs(rng, 5, 80)
+        batch = encode_reads_host(seqs)
+        host_enc = [encode_dna(s) for s in seqs]
+    hi, lo, ok = window_codes_batch_wide(
+        jnp.asarray(batch), k, space.canonical, space.base
+    )
+    hi, lo, ok = np.asarray(hi), np.asarray(lo), np.asarray(ok)
+    _k_hi, k_lo = split_k(k, space.base)
+    limb = np.uint64(space.base**k_lo)
+    full = hi.astype(np.uint64) * limb + lo.astype(np.uint64)
+    for i in range(len(seqs)):
+        want = space.window_codes(host_enc[i])
+        got = full[i][ok[i][: len(host_enc[i]) - k + 1]] if ok.shape[1] else full[i][ok[i]]
+        got = full[i][ok[i]]
+        assert got.tolist() == want.tolist()
+
+
+def test_searchsorted_2limb(jnp):
+    from kpop_tpu.ops.encode import searchsorted_2limb
+
+    rng = np.random.default_rng(5)
+    V = 1000
+    codes = np.unique(
+        rng.integers(0, 2**60, size=V * 2, dtype=np.uint64)
+    )[:V]
+    codes.sort()
+    limb = np.uint64(2**30)
+    vh = jnp.asarray((codes // limb).astype(np.int32))
+    vl = jnp.asarray((codes % limb).astype(np.int32))
+    # queries: half present, half absent
+    present = rng.choice(codes, size=200)
+    absent = rng.integers(0, 2**60, size=200, dtype=np.uint64)
+    q = np.concatenate([present, absent])
+    got = np.asarray(
+        searchsorted_2limb(
+            vh, vl,
+            jnp.asarray((q // limb).astype(np.int32)),
+            jnp.asarray((q % limb).astype(np.int32)),
+        )
+    )
+    want = np.searchsorted(codes, q)
+    hit = np.isin(q, codes)
+    np.testing.assert_array_equal(got[hit], want[hit])
+    assert (got[~hit] == V).all()
+
+
+@pytest.mark.parametrize("content,k", [("DNA-ds", 18), ("protein", 10)])
+def test_wide_pipeline_matches_host_projection(jnp, content, k):
+    """The fused large-k path (two-limb codes + sorted-vocab search) must
+    reproduce Twister.project_entries bit-for-bit in semantics: unknown
+    k-mers dropped, duplicates accumulated, normalization over known."""
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.kmers import encode_protein, hex_labels_vectorized
+    from kpop_tpu.core.matrix import KPopMatrix, MatrixType
+    from kpop_tpu.core.twister import Twister
+    from kpop_tpu.ops.pipeline import (
+        build_classifier_params,
+        count_spectra,
+        project,
+        project_reads,
+    )
+
+    rng = np.random.default_rng(6)
+    space = KmerSpace(content, k)
+    if content == "protein":
+        alpha = list("ACDEFGHIKLMNPQRSTVWY")
+        seqs = ["".join(rng.choice(alpha, size=120)) for _ in range(6)]
+        enc = [encode_protein(s) for s in seqs]
+        L = max(len(e) for e in enc)
+        batch = np.full((len(enc), L), -1, dtype=np.int8)
+        for i, e in enumerate(enc):
+            batch[i, : len(e)] = e
+    else:
+        from kpop_tpu.ops.encode import encode_reads_host
+
+        seqs = random_seqs(rng, 6, 150)
+        batch = encode_reads_host(seqs)
+    # vocabulary: the k-mers of half the sequences (so queries contain
+    # unknown k-mers that must silently drop), plus random extra codes
+    vocab_codes, _ = spectrum_of_sequences(space, seqs[:3])
+    vocab_codes = np.unique(vocab_codes)
+    d = 7
+    labels = hex_labels_vectorized(vocab_codes, space.hex_width)
+    tw_data = rng.standard_normal((d, len(labels)))
+    inertia = np.sort(rng.random(d))[::-1]
+    dim_names = ["Dim%d" % (i + 1) for i in range(d)]
+    twister = Twister(
+        KPopMatrix(
+            MatrixType.TWISTER,
+            NamedMatrix(dim_names, labels, tw_data),
+        ),
+        KPopMatrix(
+            MatrixType.INERTIA,
+            NamedMatrix(["inertia"], dim_names, inertia[None, :]),
+        ),
+    )
+    class_coords = rng.standard_normal((4, d))
+    params = build_classifier_params(space, twister, class_coords)
+    assert params.vocab_lut is None
+    assert params.cuckoo is not None or params.vocab_hi is not None
+    spectra = count_spectra(params, jnp.asarray(batch))
+    got = np.asarray(project(params, spectra))
+    got_fused = np.asarray(project_reads(params, jnp.asarray(batch)))
+    # host golden
+    entries = []
+    for s in seqs:
+        codes, counts = spectrum_of_sequences(space, [s])
+        entries.append(
+            [(space.code_to_hex(int(cd)), float(ct)) for cd, ct in zip(codes, counts)]
+        )
+    want = twister.project_entries(entries)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got_fused, want, rtol=2e-5, atol=1e-6)
+
+
+def test_cuckoo_build_and_lookup(jnp):
+    """Cuckoo table must resolve every vocabulary key to its index and miss
+    on absent keys — the wide-path hot lookup (6 gathers, worst-case)."""
+    from kpop_tpu.ops.cuckoo import build_cuckoo, cuckoo_lookup
+
+    rng = np.random.default_rng(7)
+    for V in (1, 17, 5000, 100_000):
+        codes = np.unique(rng.integers(0, 2**60, size=V * 2, dtype=np.uint64))[:V]
+        limb = np.uint64(2**30)
+        kh = (codes // limb).astype(np.int32)
+        kl = (codes % limb).astype(np.int32)
+        built = build_cuckoo(kh, kl)
+        assert built is not None, f"build failed at V={V}"
+        table, seeds = built
+        got = np.asarray(
+            cuckoo_lookup(jnp.asarray(table), seeds, V, jnp.asarray(kh), jnp.asarray(kl))
+        )
+        np.testing.assert_array_equal(got, np.arange(V))
+        # absent keys miss
+        absent = rng.integers(0, 2**60, size=500, dtype=np.uint64)
+        absent = absent[~np.isin(absent, codes)]
+        ah = (absent // limb).astype(np.int32)
+        al = (absent % limb).astype(np.int32)
+        miss = np.asarray(
+            cuckoo_lookup(jnp.asarray(table), seeds, V, jnp.asarray(ah), jnp.asarray(al))
+        )
+        assert (miss == V).all()
