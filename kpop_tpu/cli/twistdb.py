@@ -18,6 +18,7 @@ from ..core.space import (
     Metric,
     get_distance_rowwise,
     get_embeddings,
+    set_mode as space_set_mode,
     summarize_dmatrix,
     summarize_rowwise_typed,
 )
@@ -182,6 +183,18 @@ def main(argv=None) -> int:
           lambda a: (lambda d: act(lambda st: st.update(distance=d)))(
               Distance.of_string(a.get())),
           "euclidean")
+    def add_distance_mode(a: Args):
+        v = a.get()
+        if v not in ("fail", "infinity"):
+            raise ParseError(f"Invalid distance mode '{v}'")
+        act(lambda st: space_set_mode(v))
+
+    p.opt(["--distance-mode"], "'fail'|'infinity'",
+          ["behaviour on incompatible geometries when computing distances:",
+           "raise an error ('fail') or yield +infinity distances ('infinity')",
+           " (lib/Space.ml:46-51 semantics)"],
+          add_distance_mode,
+          "fail")
     p.opt(["--distance-normalize", "--distance-normalization"], "'true'|'false'",
           ["whether to normalize twisted vectors before computing distances"],
           lambda a: (lambda b: act(lambda st: st.update(distance_normalize=b)))(

@@ -36,6 +36,35 @@ class InvalidThreshold(ValueError):
     pass
 
 
+# ---------------- geometry-mismatch mode ----------------
+# lib/Space.ml:46-51,144-149: on incompatible vector geometries the library
+# either raises (Fail, the default) or yields +infinity (Infinity).  Dense
+# matrices make the mismatch a whole-matrix property, so Infinity mode turns
+# the rectangular result into an all-inf matrix instead of raising.
+
+_MODE = "fail"
+
+
+def set_mode(mode: str) -> None:
+    if mode not in ("fail", "infinity"):
+        raise ValueError(f"unknown distance mode {mode!r}")
+    global _MODE
+    _MODE = mode
+
+
+def get_mode() -> str:
+    return _MODE
+
+
+def _check_geometry(cols1, cols2) -> bool:
+    """True if compatible; raises or signals all-inf according to the mode."""
+    if list(cols1) == list(cols2):
+        return True
+    if _MODE == "fail":
+        raise IncompatibleGeometries(cols1, cols2)
+    return False
+
+
 # ---------------- distance functions ----------------
 
 
@@ -230,8 +259,9 @@ def distance_rowwise(
     normalize: bool = True,
 ) -> NamedMatrix:
     """Rectangular all-pairs distances (rows = m2's rows, cols = m1's rows)."""
-    if m1.col_names != m2.col_names:
-        raise IncompatibleGeometries(m1.col_names, m2.col_names)
+    if not _check_geometry(m1.col_names, m2.col_names):
+        data = np.full((m2.n_rows, m1.n_rows), np.inf)
+        return NamedMatrix(list(m2.row_names), list(m1.row_names), data)
     a = np.asarray(m1.data, dtype=np.float64)
     b = np.asarray(m2.data, dtype=np.float64)
     n1 = normalizations(distance, metric, a) if normalize else None
@@ -313,16 +343,39 @@ def summarize_rowwise(
     m2: NamedMatrix,
     keep_at_most: int | None = 2,
     normalize: bool = True,
+    block_elements: int = int(2e7),
 ) -> List[str]:
     """Streaming digest of the m2-by-m1 distance matrix
-    (``summarize_rowwise``, lib/Matrix.ml:691-766): one line per m2 row."""
-    dm = distance_rowwise(distance, metric, m1, m2, normalize=normalize)
+    (``summarize_rowwise``, lib/Matrix.ml:691-766): one line per m2 row.
+
+    Blocked over query (m2) rows so the full [n_queries, n_targets] matrix is
+    never materialized — the reference streams the same way; peak extra
+    memory is one block of at most ``block_elements`` distances.
+    """
     req_len = m1.n_rows if keep_at_most is None else keep_at_most
-    data = np.asarray(dm.data, dtype=np.float64)
-    return [
-        summarize_distance_row(req_len, rn, data[j], dm.col_names)
-        for j, rn in enumerate(dm.row_names)
-    ]
+    col_names = list(m1.row_names)
+    if not _check_geometry(m1.col_names, m2.col_names):
+        inf_row = np.full(m1.n_rows, np.inf)
+        return [
+            summarize_distance_row(req_len, rn, inf_row, col_names)
+            for rn in m2.row_names
+        ]
+    a = np.asarray(m1.data, dtype=np.float64)
+    b = np.asarray(m2.data, dtype=np.float64)
+    n1 = normalizations(distance, metric, a) if normalize else None
+    n_targets = max(1, a.shape[0])
+    block = max(1, block_elements // n_targets)
+    lines: List[str] = []
+    for lo in range(0, b.shape[0], block):
+        hi = min(lo + block, b.shape[0])
+        bb = b[lo:hi]
+        n2b = normalizations(distance, metric, bb) if normalize else None
+        dm = distance.compute_rowwise(metric, a, bb, n1, n2b)
+        lines.extend(
+            summarize_distance_row(req_len, m2.row_names[lo + j], dm[j], col_names)
+            for j in range(hi - lo)
+        )
+    return lines
 
 
 # ---------------- typed-register wrappers ----------------

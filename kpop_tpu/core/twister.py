@@ -138,6 +138,7 @@ class Twister:
         entries_list: Sequence[Sequence[Tuple[str, float]]],
         normalize: bool = True,
         debug: bool = False,
+        block_elements: int = int(2e7),
     ) -> np.ndarray:
         """Project spectra (lists of (kmer_label, count)) into twisted space.
 
@@ -145,36 +146,82 @@ class Twister:
         duplicates accumulated, optional normalization to sum 1 over the
         k-mers *found in the twister* (the reference accumulates ``acc``
         only inside the Some branch, :159-169).  Returns [n_spectra, d].
+
+        Vectorized: labels are resolved against the sorted vocabulary with
+        one ``searchsorted`` over the whole batch, spectra are scattered into
+        blocked dense rows and projected with one matmul per block (the
+        reference forks a per-spectrum sparse matvec).
         """
         import sys
         import time
 
-        kmer_idx = {n: i for i, n in enumerate(self.kmer_names)}
         tw = np.asarray(self.twister.matrix.data, dtype=np.float64)  # [d, K]
         d, K = tw.shape
-        out = np.zeros((len(entries_list), d))
-        x = np.zeros(K)
-        for si, entries in enumerate(entries_list):
-            t0 = time.perf_counter() if debug else 0.0
-            x.fill(0.0)
-            acc = 0.0
-            for name, v in entries:
-                idx = kmer_idx.get(name)
-                if idx is not None:
-                    acc += v
-                    x[idx] += v
-            t1 = time.perf_counter() if debug else 0.0
-            if normalize and acc != 0.0:
-                x /= acc
-            t2 = time.perf_counter() if debug else 0.0
-            out[si] = tw @ x
-            if debug:
-                # phase timing of the hidden --debug-twisting flag
-                # (reference lib/Twister.ml:147,171-187)
-                t3 = time.perf_counter()
+        n = len(entries_list)
+        out = np.zeros((n, d))
+        if n == 0:
+            return out
+        t0 = time.perf_counter() if debug else 0.0
+        lens = np.fromiter((len(e) for e in entries_list), dtype=np.int64, count=n)
+        all_names = [name for entries in entries_list for name, _ in entries]
+        names_flat = (
+            np.asarray(all_names) if all_names else np.zeros(0, dtype="U1")
+        )
+        vals_flat = np.fromiter(
+            (v for entries in entries_list for _, v in entries),
+            dtype=np.float64,
+            count=int(lens.sum()),
+        )
+        sid_flat = np.repeat(np.arange(n), lens)
+        vocab = (
+            np.asarray(self.kmer_names)
+            if self.kmer_names
+            else np.zeros(0, dtype="U1")
+        )
+        order = np.argsort(vocab)
+        sorted_vocab = vocab[order]
+        if len(names_flat):
+            pos = np.searchsorted(sorted_vocab, names_flat)
+            pos_c = np.minimum(pos, max(K - 1, 0))
+            known = (sorted_vocab[pos_c] == names_flat) if K else np.zeros(
+                len(names_flat), dtype=bool
+            )
+            cols = order[pos_c[known]]
+            vals = vals_flat[known]
+            sids = sid_flat[known]
+        else:
+            cols = np.zeros(0, dtype=np.int64)
+            vals = np.zeros(0)
+            sids = np.zeros(0, dtype=np.int64)
+        acc = np.bincount(sids, weights=vals, minlength=n)
+        t1 = time.perf_counter() if debug else 0.0
+        if normalize:
+            vals = vals / np.where(acc == 0.0, 1.0, acc)[sids]
+        t2 = time.perf_counter() if debug else 0.0
+        # blocked dense scatter + matmul; peak extra memory ~block*K doubles
+        block = max(1, block_elements // max(1, K))
+        bounds = np.searchsorted(sids, np.arange(0, n + block, block))
+        for bi, lo in enumerate(range(0, n, block)):
+            hi = min(lo + block, n)
+            elo, ehi = bounds[bi], bounds[bi + 1]
+            x = np.zeros((hi - lo, K))
+            np.add.at(x, (sids[elo:ehi] - lo, cols[elo:ehi]), vals[elo:ehi])
+            out[lo:hi] = x @ tw.T
+        if debug:
+            # phase timing of the hidden --debug-twisting flag
+            # (reference lib/Twister.ml:147,171-187); amortized per spectrum
+            t3 = time.perf_counter()
+            for si in range(n):
                 sys.stderr.write(
                     "DEBUG=(lines=%d/%d/%d,%.3g,%.3g,%.3g)\n"
-                    % (len(entries), K, d, t1 - t0, t2 - t1, t3 - t2)
+                    % (
+                        lens[si],
+                        K,
+                        d,
+                        (t1 - t0) / n,
+                        (t2 - t1) / n,
+                        (t3 - t2) / n,
+                    )
                 )
         return out
 

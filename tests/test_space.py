@@ -133,3 +133,145 @@ def test_distance_matrix_symmetric():
     dm = distance_matrix(dist, metric, m)
     np.testing.assert_allclose(dm.data, dm.data.T)
     assert np.all(np.diag(dm.data) == 0.0)
+
+
+def test_summarize_rowwise_blocked_parity_and_memory():
+    """Blocked streaming (lib/Matrix.ml:691-766 never materializes the full
+    matrix): tiny blocks must give identical lines, and peak allocation must
+    stay far below the full [n_queries, n_targets] matrix."""
+    import tracemalloc
+
+    rng = np.random.default_rng(7)
+    dist = Distance.of_string("euclidean")
+    d = 6
+    metric = np.abs(rng.standard_normal(d))
+    metric /= metric.sum()
+    targets = NamedMatrix(
+        [f"t{i}" for i in range(37)], [f"d{j}" for j in range(d)],
+        rng.standard_normal((37, d)),
+    )
+    queries = NamedMatrix(
+        [f"q{i}" for i in range(53)], [f"d{j}" for j in range(d)],
+        rng.standard_normal((53, d)),
+    )
+    one_shot = summarize_rowwise(
+        dist, metric, targets, queries, keep_at_most=3,
+        block_elements=10**9,
+    )
+    blocked = summarize_rowwise(
+        dist, metric, targets, queries, keep_at_most=3, block_elements=64
+    )
+    # blocked matmuls may differ in the last ulp (BLAS summation order);
+    # names must match exactly, floats to 1e-12 relative
+    assert len(blocked) == len(one_shot)
+    for lb, lo in zip(blocked, one_shot):
+        pb, po = lb.split("\t"), lo.split("\t")
+        assert len(pb) == len(po)
+        for fb, fo in zip(pb, po):
+            try:
+                vb, vo = float(fb), float(fo)
+            except ValueError:
+                assert fb == fo
+            else:
+                assert vb == pytest.approx(vo, rel=1e-12, abs=1e-12)
+
+    # memory bound: 5000 queries x 400 targets = 16 MB if materialized;
+    # blocked at 10000 elements the peak must stay well under that.
+    big_t = NamedMatrix(
+        [f"t{i}" for i in range(400)], [f"d{j}" for j in range(d)],
+        rng.standard_normal((400, d)),
+    )
+    big_q = NamedMatrix(
+        [f"q{i}" for i in range(5000)], [f"d{j}" for j in range(d)],
+        rng.standard_normal((5000, d)),
+    )
+    tracemalloc.start()
+    summarize_rowwise(
+        dist, metric, big_t, big_q, keep_at_most=1, block_elements=10000
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * 2**20, peak
+
+
+def test_distance_mode_infinity():
+    """lib/Space.ml:46-51,144-149: geometry mismatch raises in 'fail' mode
+    (default) and yields +infinity distances in 'infinity' mode."""
+    from kpop_tpu.core.matrix import IncompatibleGeometries
+    from kpop_tpu.core.space import get_mode, set_mode
+
+    rng = np.random.default_rng(11)
+    dist = Distance.of_string("euclidean")
+    metric = np.ones(3) / 3
+    m1 = NamedMatrix(["a", "b"], ["d0", "d1", "d2"], rng.standard_normal((2, 3)))
+    m2 = NamedMatrix(["q"], ["d0", "d1"], rng.standard_normal((1, 2)))
+    assert get_mode() == "fail"
+    with pytest.raises(IncompatibleGeometries):
+        distance_rowwise(dist, metric, m1, m2)
+    with pytest.raises(IncompatibleGeometries):
+        summarize_rowwise(dist, metric, m1, m2)
+    set_mode("infinity")
+    try:
+        dm = distance_rowwise(dist, metric, m1, m2)
+        assert dm.row_names == ["q"] and dm.col_names == ["a", "b"]
+        assert np.all(np.isinf(np.asarray(dm.data)))
+        lines = summarize_rowwise(dist, metric, m1, m2, keep_at_most=1)
+        assert len(lines) == 1
+        parts = lines[0].split("\t")
+        assert parts[0] == "q"
+        assert float(parts[1]) == np.inf  # mean
+        assert float(parts[3]) == np.inf  # median
+        # infinite distances still rank (stably, by index)
+        assert parts[5] == "a" and float(parts[6]) == np.inf
+        with pytest.raises(ValueError):
+            set_mode("bogus")
+    finally:
+        set_mode("fail")
+
+
+def test_distance_mode_cli_flag(tmp_path):
+    """kpop-twistdb --distance-mode infinity lets -s run across registers of
+    mismatched dimensionality, producing all-inf summary rows."""
+    from kpop_tpu.cli import twistdb as twistdb_cli
+    from kpop_tpu.core.matrix import KPopMatrix, MatrixType
+    from kpop_tpu.core.twister import Twister
+
+    rng = np.random.default_rng(5)
+    dims3 = ["Dim1", "Dim2", "Dim3"]
+    kmers = ["AA", "AC", "AG", "AT"]
+    tw = Twister(
+        KPopMatrix(
+            MatrixType.TWISTER,
+            NamedMatrix(dims3, kmers, rng.standard_normal((3, 4))),
+        ),
+        KPopMatrix(
+            MatrixType.INERTIA,
+            NamedMatrix(["inertia"], dims3, np.array([[0.6, 0.3, 0.1]])),
+        ),
+    )
+    tw.to_binary(str(tmp_path / "T"))
+    KPopMatrix(
+        MatrixType.TWISTED,
+        NamedMatrix(["s1", "s2"], dims3, rng.standard_normal((2, 3))),
+    ).to_binary(str(tmp_path / "train"))
+    # queries twisted with a DIFFERENT dimensionality
+    KPopMatrix(
+        MatrixType.TWISTED,
+        NamedMatrix(["q1"], ["Dim1", "Dim2"], rng.standard_normal((1, 2))),
+    ).to_binary(str(tmp_path / "queries"))
+    args = [
+        "-i", "T", str(tmp_path / "T"),
+        "-i", "t", str(tmp_path / "train"),
+        "--distance-mode", "infinity",
+        "-s", str(tmp_path / "queries"), str(tmp_path / "out"),
+    ]
+    try:
+        assert twistdb_cli.main(args) == 0
+    finally:
+        from kpop_tpu.core.space import set_mode
+
+        set_mode("fail")
+    lines = (tmp_path / "out.KPopSummary.txt").read_text().splitlines()
+    assert len(lines) == 1
+    parts = lines[0].split("\t")
+    assert parts[0] == "q1" and float(parts[1]) == np.inf
