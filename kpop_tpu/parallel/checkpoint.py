@@ -85,4 +85,6 @@ def load_sharded(
             )
             full[slices] = data
         p += 1
-    return jax.device_put(full, NamedSharding(mesh, spec))
+    from .mesh import device_canonical
+
+    return jax.device_put(device_canonical(full), NamedSharding(mesh, spec))

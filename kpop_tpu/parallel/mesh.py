@@ -59,6 +59,31 @@ def shard(mesh: Mesh, *axes) -> NamedSharding:
     return NamedSharding(mesh, P(*axes))
 
 
+def device_canonical(x):
+    """Pre-cast a host array to the dtype JAX would canonicalize it to.
+
+    ``jax.device_put`` onto a cross-process sharding asserts the value is
+    identical on every process by broadcasting it through the devices; a
+    float64 input truncates to float32 in that round-trip (x64 disabled) and
+    the assert then fails against the local float64 copy.  Casting up front
+    makes the comparison exact and costs nothing — the cast would happen on
+    transfer anyway.
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    if not jax.config.read("jax_enable_x64"):
+        for src, dst in (
+            (np.float64, np.float32),
+            (np.int64, np.int32),
+            (np.uint64, np.uint32),
+            (np.complex128, np.complex64),
+        ):
+            if x.dtype == src:
+                return x.astype(dst)
+    return x
+
+
 def pad_to_multiple(x, axis: int, multiple: int, fill=0):
     """Pad an array so dim ``axis`` is divisible by ``multiple`` (sharding
     requires evenly divisible global shapes)."""

@@ -26,7 +26,22 @@ jax = jax_setup()
 import jax.numpy as jnp  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 
-from .mesh import DATA_AXIS, KMER_AXIS, pad_to_multiple  # noqa: E402
+from .mesh import (  # noqa: E402
+    DATA_AXIS,
+    KMER_AXIS,
+    device_canonical,
+    pad_to_multiple,
+)
+
+
+def _host(arr) -> np.ndarray:
+    """Fetch a jax.Array to host, gathering across processes when its shards
+    are not all addressable (multi-host runs)."""
+    if arr.is_fully_replicated or arr.is_fully_addressable:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 # ---------------- CA ----------------
@@ -106,7 +121,7 @@ def ca_fit_sharded(mesh: Mesh, table: np.ndarray, n_dims: int | None = None):
     nk, ns = table.shape
     d = min(nk, ns) - 1 if n_dims is None else n_dims
     n_shards = mesh.devices.size
-    padded, orig = pad_to_multiple(np.asarray(table), 0, n_shards)
+    padded, orig = pad_to_multiple(device_canonical(table), 0, n_shards)
     x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
     xs = jax.device_put(padded, x_sharding)
     fn = jax.jit(
@@ -120,10 +135,10 @@ def ca_fit_sharded(mesh: Mesh, table: np.ndarray, n_dims: int | None = None):
     )
     coords, inertia, phi, sv = fn(xs)
     return (
-        np.asarray(coords),
-        np.asarray(inertia),
-        np.asarray(phi)[:orig].T,
-        np.asarray(sv),
+        _host(coords),
+        _host(inertia),
+        _host(phi)[:orig].T,
+        _host(sv),
     )
 
 
@@ -139,9 +154,9 @@ def project_sharded(
     """[B, K] spectra x [K, d] twister^T with B over "data", K over "kmer"."""
     n_data = mesh.shape[DATA_AXIS]
     n_kmer = mesh.shape[KMER_AXIS]
-    xs, B = pad_to_multiple(np.asarray(spectra), 0, n_data)
+    xs, B = pad_to_multiple(device_canonical(spectra), 0, n_data)
     xs, K = pad_to_multiple(xs, 1, n_kmer)
-    tw, _ = pad_to_multiple(np.asarray(twister_t), 0, n_kmer)
+    tw, _ = pad_to_multiple(device_canonical(twister_t), 0, n_kmer)
     x_sh = NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS))
     w_sh = NamedSharding(mesh, P(KMER_AXIS, None))
     xs = jax.device_put(xs, x_sh)
@@ -156,7 +171,7 @@ def project_sharded(
     out = jax.jit(
         fn, out_shardings=NamedSharding(mesh, P(DATA_AXIS, None))
     )(xs, tw)
-    return np.asarray(out)[:B]
+    return _host(out)[:B]
 
 
 # ---------------- pairwise distances ----------------
@@ -173,12 +188,12 @@ def pairwise_sharded(
     whole mesh (both axes), targets replicated — the layout for the
     classification workload where T (classes) << B (sequences)."""
     n_shards = mesh.devices.size
-    q, B = pad_to_multiple(np.asarray(queries), 0, n_shards)
+    q, B = pad_to_multiple(device_canonical(queries), 0, n_shards)
     q_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
     rep = NamedSharding(mesh, P(None, None))
     qd = jax.device_put(q, q_sh)
-    td = jax.device_put(np.asarray(targets), rep)
-    md = jax.device_put(np.asarray(metric), NamedSharding(mesh, P(None)))
+    td = jax.device_put(device_canonical(targets), rep)
+    md = jax.device_put(device_canonical(metric), NamedSharding(mesh, P(None)))
 
     def fn(a, b, m):
         if normalize:
@@ -196,4 +211,4 @@ def pairwise_sharded(
         return jnp.sqrt(d2)
 
     out = jax.jit(fn, out_shardings=q_sh)(qd, td, md)
-    return np.asarray(out)[:B]
+    return _host(out)[:B]

@@ -1,0 +1,108 @@
+"""Worker process for the true multi-process distributed test
+(tests/test_distributed.py).  Two of these run concurrently, forming one
+jax.distributed job over 2 processes x 4 virtual CPU devices = 8 global
+devices — the CPU stand-in for the reference's manual multi-node sharding
+replacement (README.md:1049-1067 -> one SPMD job).
+
+Usage: python distributed_worker.py <process_id> <port> <workdir>
+Exits non-zero on any assertion failure; writes <workdir>/ok.<pid> on success.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    pid, port, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["KPOP_PLATFORM"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4 "
+        + os.environ.get("XLA_FLAGS", "")
+    )
+    sys.path.insert(0, REPO)
+
+    import numpy as np
+
+    from kpop_tpu.parallel import distributed
+
+    distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    )
+
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == 2
+    assert jax.process_index() == pid
+    assert len(jax.devices()) == 8
+    assert len(jax.local_devices()) == 4
+    assert distributed.is_primary() == (pid == 0)
+
+    from kpop_tpu.core.ca import fit_ca
+    from kpop_tpu.parallel.checkpoint import load_sharded, save_sharded
+    from kpop_tpu.parallel.input import (
+        encode_fasta_batches,
+        global_batch,
+        shard_files_for_process,
+    )
+    from kpop_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS, make_mesh
+    from kpop_tpu.parallel.sharded import ca_fit_sharded
+
+    mesh = make_mesh()
+
+    # ---- P2 scatter: round-robin file assignment ----
+    files = [os.path.join(workdir, f"in{i}.fasta") for i in range(4)]
+    mine = shard_files_for_process(files)
+    assert mine == files[pid::2], (mine, pid)
+
+    # ---- per-process encode + global assembly ----
+    batches = list(encode_fasta_batches(mine, batch=8, max_len=16))
+    assert len(batches) == 1, len(batches)
+    codes, names = batches[0]
+    assert codes.shape == (8, 16) and len(names) == 8
+    g = global_batch(mesh, codes)
+    assert g.shape == (16, 16), g.shape
+    got_sum = float(jax.jit(lambda a: (a.astype("int32") + 1).sum())(g))
+    # expected from ALL files, computed on host by every process
+    exp = 0
+    for b, _ in encode_fasta_batches(files, batch=16, max_len=16):
+        exp += int((b.astype(np.int32) + 1).sum())
+    assert got_sum == exp, (got_sum, exp)
+
+    # ---- sharded checkpoint round-trip across process files ----
+    arr_host = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    spec = P((DATA_AXIS, KMER_AXIS), None)
+    arr = jax.device_put(arr_host, NamedSharding(mesh, spec))
+    ck = os.path.join(workdir, "ckpt")
+    save_sharded(ck, arr)
+    multihost_utils.sync_global_devices("ckpt written")
+    assert os.path.exists(ck + f".shard{pid}.kpopckpt")
+    assert os.path.exists(ck + ".kpopckpt")  # meta from process 0
+    back = load_sharded(ck, mesh, spec)
+    assert back.shape == arr_host.shape
+    for s in back.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(s.data), arr_host[s.index])
+
+    # ---- sharded CA parity with the host golden path ----
+    rng = np.random.default_rng(42)  # same table on both processes
+    table = rng.random((101, 7)) * 10.0
+    coords, inertia, twister, sv = ca_fit_sharded(mesh, table)
+    want = fit_ca(table)
+    np.testing.assert_allclose(coords, want.sample_coords, rtol=0, atol=2e-4)
+    np.testing.assert_allclose(inertia, want.inertia, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(sv, want.sv, rtol=0, atol=1e-4)
+    assert twister.shape == want.twister.shape
+    np.testing.assert_allclose(twister, want.twister, rtol=0, atol=5e-3)
+
+    with open(os.path.join(workdir, f"ok.{pid}"), "w") as f:
+        json.dump({"process": pid, "devices": len(jax.devices())}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
