@@ -49,4 +49,10 @@ def make(
 
 
 if __name__ == "__main__":
-    make(sys.argv[1] if len(sys.argv) > 1 else "clusters.fasta")
+    args = sys.argv[1:]
+    per_class = 20
+    if "--per-class" in args:
+        i = args.index("--per-class")
+        per_class = int(args[i + 1])
+        del args[i : i + 2]
+    make(args[0] if args else "clusters.fasta", per_class=per_class)
