@@ -244,21 +244,40 @@ def main(argv=None) -> int:
             )
         )),
     )
+    def _compute_distances(st, prefix):
+        queries = KPopMatrix.of_binary(MatrixType.TWISTED, prefix)
+        if st["backend"] in ("jax", "tpu", "device", "pallas"):
+            from ..ops.summaries import distance_rowwise_device
+
+            st["twisted"].expect(MatrixType.TWISTED)
+            queries.expect(MatrixType.TWISTED)
+            st["distances"] = KPopMatrix(
+                MatrixType.DMATRIX,
+                distance_rowwise_device(
+                    st["distance"],
+                    st["twister"].metrics_vector(st["metric"]),
+                    st["twisted"].matrix,
+                    queries.matrix,
+                    normalize=st["distance_normalize"],
+                    backend=st["backend"],
+                ),
+            )
+        else:
+            st["distances"] = get_distance_rowwise(
+                st["distance"],
+                st["twister"].metrics_vector(st["metric"]),
+                st["twisted"],
+                queries,
+                normalize=st["distance_normalize"],
+            )
+
     p.opt(
         ["-d", "--distances", "--compute-distances", "--compute-twisted-distances"],
         "<twisted_binary_file_prefix>",
         ["compute distances between the twisted register and the specified",
          "twisted binary file; result -> distance register"],
         lambda a: (lambda prefix: act(
-            lambda st: st.update(
-                distances=get_distance_rowwise(
-                    st["distance"],
-                    st["twister"].metrics_vector(st["metric"]),
-                    st["twisted"],
-                    KPopMatrix.of_binary(MatrixType.TWISTED, prefix),
-                    normalize=st["distance_normalize"],
-                )
-            ),
+            lambda st: _compute_distances(st, prefix),
             needs_twister=True,
         ))(a.get()),
     )
@@ -326,10 +345,12 @@ def main(argv=None) -> int:
               _parse_keep_at_most(a)),
           "2")
 
-    p.opt(["--backend"], "'host'|'jax'",
-          ["compute backend for -s summaries: float64 host numpy (exact,",
-           "default) or batched device digests (kpop-tpu extension for",
-           "large workloads; float32 distances, same tie semantics)"],
+    p.opt(["--backend"], "'host'|'jax'|'pallas'",
+          ["compute backend for -d distances and -s summaries: float64 host",
+           "numpy (exact, default), batched device kernels ('jax'), or the",
+           "tiled Pallas distance kernel ('pallas', euclidean only; other",
+           "distances use the XLA path) — kpop-tpu extensions for large",
+           "workloads; float32 distances, same tie semantics"],
           lambda a: (lambda v: act(lambda st: st.update(backend=v)))(a.get()),
           "host")
 
@@ -342,7 +363,7 @@ def main(argv=None) -> int:
             path = with_ext(prefix_out, SUMMARY_EXT)
             f = open_out(path)
             try:
-                if st["backend"] in ("jax", "tpu", "device"):
+                if st["backend"] in ("jax", "tpu", "device", "pallas"):
                     from ..ops.summaries import summarize_rowwise_device
 
                     queries.expect(MatrixType.TWISTED)
@@ -355,6 +376,7 @@ def main(argv=None) -> int:
                         keep_at_most=st["summary_keep_at_most"],
                         normalize=st["distance_normalize"],
                         out=f,
+                        backend=st["backend"],
                     )
                 else:
                     for ln in summarize_rowwise_typed(

@@ -24,8 +24,15 @@ jax = jax_setup()
 import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 
+# Tuned on TPU v5e (see docs/PALLAS.md): at [4096, 4096, 512] the
+# (256, 2048) tiling runs the fused tile in 0.93 ms vs 1.15 ms for the XLA
+# matmul expansion (1.23x).  Small operands drop to one right-sized tile.
 TILE_Q = 256
-TILE_T = 256
+TILE_T = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def _dist_kernel(a_ref, b_ref, m_ref, na_ref, nb_ref, out_ref):
@@ -75,27 +82,31 @@ def pairwise_distances_pallas(
     else:
         na = jnp.ones((Q,), jnp.float32)
         nb = jnp.ones((T,), jnp.float32)
+    # adaptive tiles: full-size for large operands, one right-sized tile for
+    # small ones (a 10-class target set must not pad to 2048 rows)
+    tile_q = TILE_Q if Q >= TILE_Q else _round_up(Q, 8)
+    tile_t = TILE_T if T > TILE_T // 2 else _round_up(T, 128)
     # pad to tile multiples (D to the 128-lane boundary)
-    a = _pad(_pad(a, 0, TILE_Q), 1, 128)
-    b = _pad(_pad(b, 0, TILE_T), 1, 128)
+    a = _pad(_pad(a, 0, tile_q), 1, 128)
+    b = _pad(_pad(b, 0, tile_t), 1, 128)
     m2 = _pad(m[None, :], 1, 128)
-    na = _pad(na[:, None], 0, TILE_Q, value=1.0)
-    nb = _pad(nb[:, None], 0, TILE_T, value=1.0)
+    na = _pad(na[:, None], 0, tile_q, value=1.0)
+    nb = _pad(nb[:, None], 0, tile_t, value=1.0)
     Qp, Dp = a.shape
     Tp, _ = b.shape
-    grid = (Qp // TILE_Q, Tp // TILE_T)
+    grid = (Qp // tile_q, Tp // tile_t)
     out = pl.pallas_call(
         _dist_kernel,
         out_shape=jax.ShapeDtypeStruct((Qp, Tp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_Q, Dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE_T, Dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_q, Dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_t, Dp), lambda i, j: (j, 0)),
             pl.BlockSpec((1, Dp), lambda i, j: (0, 0)),
-            pl.BlockSpec((TILE_Q, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE_T, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_t, 1), lambda i, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_Q, TILE_T), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((tile_q, tile_t), lambda i, j: (i, j)),
         interpret=interpret,
     )(a, b, m2, na, nb)
     return out[:Q, :T]

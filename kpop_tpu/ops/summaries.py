@@ -28,9 +28,44 @@ from ..core.space import Distance, summarize_distance_row  # noqa: E402
 TOPK_SLACK = 14
 
 
-@partial(jax.jit, static_argnames=("kind", "power", "normalize", "k_cap"))
+def _use_interpret() -> bool:
+    """Pallas kernels compile for TPU only; interpret elsewhere (tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _distance_block(a, b, m, kind, power, use_pallas):
+    """[B, N] distances of normalized queries ``b`` vs targets ``a``."""
+    if kind == "euclidean" and use_pallas:
+        from .pallas_pairwise import pairwise_distances_pallas
+
+        return pairwise_distances_pallas(
+            b, a, m, normalize=False, interpret=_use_interpret()
+        )
+    if kind in ("euclidean", "cosine"):
+        am = a * m[None, :]
+        cross = jnp.dot(b, am.T, preferred_element_type=jnp.float32)
+        na2 = (am * a).sum(axis=1)
+        nb2 = (b * b * m[None, :]).sum(axis=1)
+        acc = jnp.maximum(nb2[:, None] + na2[None, :] - 2.0 * cross, 0.0)
+        return jnp.sqrt(acc) if kind == "euclidean" else acc / 2.0
+    diff = jnp.abs(b[:, None, :] - a[None, :, :])
+    return ((diff**power) * m[None, None, :]).sum(axis=2) ** (1.0 / power)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kind", "power", "normalize", "k_cap", "use_pallas"),
+)
 def _digest_batch(
-    targets, queries, metric, tnorms, kind, power, normalize, k_cap
+    targets,
+    queries,
+    metric,
+    tnorms,
+    kind,
+    power,
+    normalize,
+    k_cap,
+    use_pallas=False,
 ):
     a = targets  # [N, D]
     b = queries  # [B, D]
@@ -47,16 +82,7 @@ def _digest_batch(
         nb = jnp.where(nb == 0.0, 1.0, nb)
         b = b / nb[:, None]
         a = a / tnorms[:, None]
-    if kind in ("euclidean", "cosine"):
-        am = a * m[None, :]
-        cross = jnp.dot(b, am.T, preferred_element_type=jnp.float32)
-        na2 = (am * a).sum(axis=1)
-        nb2 = (b * b * m[None, :]).sum(axis=1)
-        acc = jnp.maximum(nb2[:, None] + na2[None, :] - 2.0 * cross, 0.0)
-        dmat = jnp.sqrt(acc) if kind == "euclidean" else acc / 2.0
-    else:
-        diff = jnp.abs(b[:, None, :] - a[None, :, :])
-        dmat = ((diff**power) * m[None, None, :]).sum(axis=2) ** (1.0 / power)
+    dmat = _distance_block(a, b, m, kind, power, use_pallas)
     B, N = dmat.shape
     mean = dmat.mean(axis=1)
     std = jnp.sqrt(((dmat - mean[:, None]) ** 2).sum(axis=1) / max(N - 1, 1))
@@ -77,12 +103,17 @@ def summarize_rowwise_device(
     normalize: bool,
     out: IO[str],
     batch: int = 1024,
+    backend: str = "jax",
 ) -> int:
     """Write summary lines for every m2 row vs all m1 rows; returns #rows.
 
     Exact output parity with :func:`core.space.summarize_rowwise` is tested;
     ties overflowing the top-K slack fall back to the host per row.
+    ``backend="pallas"`` computes euclidean distance blocks with the tiled
+    Pallas kernel (one fused HBM pass per tile) instead of the XLA matmul
+    expansion; other distances silently use the XLA path.
     """
+    use_pallas = backend == "pallas"
     targets = np.asarray(m1.data, dtype=np.float64)
     N = targets.shape[0]
     req_len = N if keep_at_most is None else keep_at_most
@@ -112,6 +143,7 @@ def summarize_rowwise_device(
                 power=distance.power,
                 normalize=normalize,
                 k_cap=k_cap,
+                use_pallas=use_pallas,
             )
         ]
         for j in range(q.shape[0]):
@@ -161,3 +193,68 @@ def _host_row(distance, metric, targets, tnorms, query, normalize):
     return (
         (np.abs(a - q[None, :]) ** distance.power * metric[None, :]).sum(axis=1)
     ) ** (1.0 / distance.power)
+
+
+def distance_rowwise_device(
+    distance: Distance,
+    metric: np.ndarray,
+    m1: NamedMatrix,
+    m2: NamedMatrix,
+    normalize: bool = True,
+    backend: str = "jax",
+    batch: int = 4096,
+) -> NamedMatrix:
+    """Full rectangular distance matrix on device (rows = m2's rows,
+    cols = m1's rows, the ``get_distance_rowwise`` orientation,
+    lib/Matrix.ml:191-266), blocked over query rows.
+
+    ``backend="pallas"`` uses the tiled Pallas euclidean kernel for each
+    block; ``"jax"`` the XLA matmul expansion.  float32 on device (the
+    float64 host path in core.space stays the golden reference).
+    """
+    use_pallas = backend == "pallas"
+    targets = np.asarray(m1.data, dtype=np.float64)
+    queries = np.asarray(m2.data, dtype=np.float64)
+    if normalize:
+        tn = distance.compute_norm(metric, targets)
+        tn = np.where(tn == 0.0, 1.0, tn)
+    else:
+        tn = np.ones(targets.shape[0])
+    td = jnp.asarray(targets, dtype=jnp.float32)
+    md = jnp.asarray(metric, dtype=jnp.float32)
+    tnd = jnp.asarray(tn, dtype=jnp.float32)
+    out = np.zeros((queries.shape[0], targets.shape[0]))
+    for lo in range(0, queries.shape[0], batch):
+        q = queries[lo : lo + batch]
+        block = _distance_rowwise_block(
+            td,
+            jnp.asarray(q, dtype=jnp.float32),
+            md,
+            tnd,
+            kind=distance.kind,
+            power=distance.power,
+            normalize=normalize,
+            use_pallas=use_pallas,
+        )
+        out[lo : lo + batch] = np.asarray(block, dtype=np.float64)
+    return NamedMatrix(list(m2.row_names), list(m1.row_names), out)
+
+
+@partial(
+    jax.jit, static_argnames=("kind", "power", "normalize", "use_pallas")
+)
+def _distance_rowwise_block(
+    targets, queries, metric, tnorms, kind, power, normalize, use_pallas
+):
+    a, b, m = targets, queries, metric
+    if normalize:
+        if kind == "euclidean":
+            nb = jnp.sqrt((b * b * m[None, :]).sum(axis=1))
+        elif kind == "cosine":
+            nb = (b * b * m[None, :]).sum(axis=1) / 2.0
+        else:
+            nb = (jnp.abs(b) ** power * m[None, :]).sum(axis=1) ** (1.0 / power)
+        nb = jnp.where(nb == 0.0, 1.0, nb)
+        b = b / nb[:, None]
+        a = a / tnorms[:, None]
+    return _distance_block(a, b, m, kind, power, use_pallas)

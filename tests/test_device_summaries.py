@@ -122,3 +122,95 @@ def test_twistdb_summary_backend_jax_cli(tmp_path):
     for h, d in zip(host, dev):
         hp, dp = h.split("\t"), d.split("\t")
         assert hp[0] == dp[0] and hp[5::3] == dp[5::3]
+
+
+def test_pallas_summaries_match_host():
+    """The Pallas-tiled distance path (interpret mode on CPU) must match the
+    host float64 summaries like the XLA device path does."""
+    rng = np.random.default_rng(3)
+    targets, queries, metric = make_case(rng, N=15, B=23, D=7)
+    dist = Distance.of_string("euclidean")
+    want = summarize_rowwise(dist, metric, targets, queries, keep_at_most=3)
+    buf = io.StringIO()
+    n = summarize_rowwise_device(
+        dist, metric, targets, queries, keep_at_most=3, normalize=True,
+        out=buf, batch=9, backend="pallas",
+    )
+    got = buf.getvalue().splitlines()
+    assert n == len(want) == len(got)
+    for g, w in zip(got, want):
+        pg, pw = g.split("\t"), w.split("\t")
+        assert len(pg) == len(pw) and pg[0] == pw[0]
+        assert pg[5::3] == pw[5::3], (g, w)
+        for a, b in zip(pg[1:], pw[1:]):
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                continue
+            assert abs(fa - fb) < 2e-4 * max(1.0, abs(fb)), (g, w)
+
+
+@pytest.mark.parametrize("backend", ["jax", "pallas"])
+@pytest.mark.parametrize("normalize", [True, False])
+def test_distance_rowwise_device_matches_host(backend, normalize):
+    from kpop_tpu.core.space import distance_rowwise
+    from kpop_tpu.ops.summaries import distance_rowwise_device
+
+    rng = np.random.default_rng(4)
+    targets, queries, metric = make_case(rng, N=13, B=29, D=6)
+    dist = Distance.of_string("euclidean")
+    want = distance_rowwise(dist, metric, targets, queries, normalize=normalize)
+    got = distance_rowwise_device(
+        dist, metric, targets, queries, normalize=normalize,
+        backend=backend, batch=11,
+    )
+    assert got.row_names == want.row_names
+    assert got.col_names == want.col_names
+    np.testing.assert_allclose(
+        np.asarray(got.data), np.asarray(want.data), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_twistdb_distances_backend_pallas_cli(tmp_path):
+    """kpop-twistdb -d with --backend pallas produces a DMatrix numerically
+    matching the host path (float32 tolerance)."""
+    import os
+    import subprocess
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(5)
+    import io as _io
+
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.core.matrix import KPopMatrix, MatrixType
+
+    space = KmerSpace("DNA-ds", 5)
+    db = CounterDB()
+    for c in range(6):
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 300)])
+        codes, counts = spectrum_of_sequences(space, [seq])
+        db.add_spectra_stream(_io.StringIO(
+            "\tS%d\n" % c + "".join(
+                "%s\t%d\n" % (space.code_to_hex(cd), ct)
+                for cd, ct in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    env = dict(os.environ, PATH=os.path.join(REPO, "bin") + os.pathsep
+               + os.environ["PATH"], PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+
+    def sh(cmd):
+        res = subprocess.run(["bash", "-c", cmd], cwd=str(tmp_path), env=env,
+                             capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr[-1500:]
+
+    sh("kpop-twist -i DB -o TW")
+    sh("kpop-twistdb -i T TW -i t TW -d TW -o d HOST")
+    sh("kpop-twistdb -i T TW -i t TW --backend pallas -d TW -o d PAL")
+    host = KPopMatrix.of_binary(MatrixType.DMATRIX, str(tmp_path / "HOST"))
+    pal = KPopMatrix.of_binary(MatrixType.DMATRIX, str(tmp_path / "PAL"))
+    assert host.matrix.row_names == pal.matrix.row_names
+    np.testing.assert_allclose(
+        np.asarray(pal.matrix.data), np.asarray(host.matrix.data),
+        rtol=2e-5, atol=2e-6,
+    )
