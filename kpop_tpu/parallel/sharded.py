@@ -47,35 +47,55 @@ def _host(arr) -> np.ndarray:
 # ---------------- CA ----------------
 
 
-def _gram_compensated(S, n_blocks: int = 32):
-    """S^T S with blocked Kahan-compensated accumulation: recovers most of
-    the float64 accuracy lost to long f32 summation chains over the k-mer
-    axis without paying TPU-emulated f64 matmuls."""
-    K = S.shape[0]
-    blk = max(1, K // n_blocks)
-    pad = (-K) % blk
-    Sp = jnp.pad(S, ((0, pad), (0, 0)))
-    blocks = Sp.reshape(-1, blk, S.shape[1])
+def _gram_dd_local(hi, lo, n_blocks: int = 16, axes: tuple = ()):
+    """Near-float64 ``S^T S`` from two float32 limbs of S (hi + lo == S to
+    f64 accuracy), on one shard:
 
-    def body(carry, b):
+    - exact-product matmuls (``Precision.HIGHEST``: no bf16 decomposition),
+    - the cross term ``hi'lo + lo'hi`` restores the bits lost casting S to
+      f32 (the dominant error of a naive device Gram),
+    - blocked Kahan accumulation bounds the f32 summation-chain error over
+      a long k-mer axis.
+
+    Returns ``(acc, comp)``; the caller combines ``acc - comp`` in float64.
+    Measured on TPU v5e at [1M, 16]: 6.8e-8 max relative error vs 9.1e-6
+    for a naive f32 dot, at ~2x the matmul cost (docs/PALLAS.md sidecar).
+    """
+    K, ns = hi.shape
+    blk = max(1, -(-K // n_blocks))
+    pad = (-K) % blk
+    hi = jnp.pad(hi, ((0, pad), (0, 0)))
+    lo = jnp.pad(lo, ((0, pad), (0, 0)))
+    hb = hi.reshape(-1, blk, ns)
+    lb = lo.reshape(-1, blk, ns)
+    prec = jax.lax.Precision.HIGHEST
+
+    def body(carry, x):
         acc, comp = carry
-        g = jnp.dot(b.T, b, preferred_element_type=S.dtype)
+        h, l = x
+        g = jnp.dot(h.T, h, preferred_element_type=jnp.float32, precision=prec)
+        ghl = jnp.dot(h.T, l, preferred_element_type=jnp.float32, precision=prec)
+        g = g + ghl + ghl.T
         y = g - comp
         t = acc + y
         comp = (t - acc) - y
         return (t, comp), None
 
-    ns = S.shape[1]
-    init = (jnp.zeros((ns, ns), S.dtype), jnp.zeros((ns, ns), S.dtype))
-    (acc, _), _ = jax.lax.scan(body, init, blocks)
-    return acc
+    init = (jnp.zeros((ns, ns), jnp.float32), jnp.zeros((ns, ns), jnp.float32))
+    if axes:
+        # inside shard_map the carry must be marked device-varying
+        init = tuple(jax.lax.pvary(x, axes) for x in init)
+    (acc, comp), _ = jax.lax.scan(body, init, (hb, lb))
+    return acc, comp
 
 
-def _ca_math(table, n_dims: int, compensated: bool = True):
+def _ca_math(table, n_dims: int):
     """The CA factorization on a (possibly sharded) [K, ns] table.
 
     Pure jnp; sharding of ``table`` along axis 0 makes XLA compute the
-    column sums and the Gram matrix with psums over the kmer axis.
+    column sums and the Gram matrix with psums over the kmer axis.  This is
+    the all-device "fast" path (dryruns, in-jit training steps); the
+    higher-precision two-limb path lives in :func:`ca_fit_sharded`.
     """
     total = table.sum()
     P_ = table / total
@@ -86,10 +106,12 @@ def _ca_math(table, n_dims: int, compensated: bool = True):
     S = (P_ - r[:, None] * c[None, :]) / jnp.sqrt(
         r_safe[:, None] * c_safe[None, :]
     )
-    if compensated:
-        G = _gram_compensated(S)  # [ns, ns] replicated
-    else:
-        G = jnp.dot(S.T, S, preferred_element_type=S.dtype)
+    G = jnp.dot(
+        S.T,
+        S,
+        preferred_element_type=S.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     evals, evecs = jnp.linalg.eigh(G)  # ascending
     evals = evals[::-1][:n_dims]
     V = evecs[:, ::-1][:, :n_dims]
@@ -112,33 +134,122 @@ def _ca_math(table, n_dims: int, compensated: bool = True):
     return sample_coords, inertia, phi, sv  # phi [K, d] sharded over kmer
 
 
-def ca_fit_sharded(mesh: Mesh, table: np.ndarray, n_dims: int | None = None):
+def ca_fit_sharded(
+    mesh: Mesh,
+    table: np.ndarray,
+    n_dims: int | None = None,
+    precision: str = "dd",
+):
     """Fit CA with the k-mer axis sharded across the whole mesh.
 
     ``table``: host [n_kmers, n_samples].  Returns host arrays
     (sample_coords, inertia, twister [d, K], sv).
+
+    ``precision="dd"`` (default): standardized residuals are computed on the
+    host in float64 and shipped as TWO float32 limbs; each shard accumulates
+    its Gram contribution with exact-product matmuls + Kahan blocks
+    (:func:`_gram_dd_local`), the per-shard (acc, comp) pairs are combined
+    in float64 on the host, and the tiny eigendecomposition runs in host
+    float64 — near-float64 CA factors with all heavy FLOPs on device.
+    ``precision="fast"``: everything on device in float32 (:func:`_ca_math`).
     """
     nk, ns = table.shape
     d = min(nk, ns) - 1 if n_dims is None else n_dims
+    d = max(1, min(d, ns))
     n_shards = mesh.devices.size
-    padded, orig = pad_to_multiple(device_canonical(table), 0, n_shards)
     x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
-    xs = jax.device_put(padded, x_sharding)
-    fn = jax.jit(
-        lambda t: _ca_math(t, d),
-        out_shardings=(
-            NamedSharding(mesh, P(None, None)),
-            NamedSharding(mesh, P(None)),
-            x_sharding,
-            NamedSharding(mesh, P(None)),
-        ),
+    if precision == "fast":
+        padded, orig = pad_to_multiple(device_canonical(table), 0, n_shards)
+        xs = jax.device_put(padded, x_sharding)
+        fn = jax.jit(
+            lambda t: _ca_math(t, d),
+            out_shardings=(
+                NamedSharding(mesh, P(None, None)),
+                NamedSharding(mesh, P(None)),
+                x_sharding,
+                NamedSharding(mesh, P(None)),
+            ),
+        )
+        coords, inertia, phi, sv = fn(xs)
+        return (
+            _host(coords),
+            _host(inertia),
+            _host(phi)[:orig].T,
+            _host(sv),
+        )
+    if precision != "dd":
+        raise ValueError(f"unknown CA precision {precision!r}")
+    # ---- host float64 standardized residuals (elementwise, cheap) ----
+    N = np.asarray(table, dtype=np.float64)
+    total = N.sum()
+    P_ = N / total
+    r = P_.sum(axis=1)
+    c = P_.sum(axis=0)
+    r_safe = np.where(r > 0, r, 1.0)
+    c_safe = np.where(c > 0, c, 1.0)
+    S = (P_ - np.outer(r, c)) / np.sqrt(np.outer(r_safe, c_safe))
+    S_hi = S.astype(np.float32)
+    S_lo = (S - S_hi.astype(np.float64)).astype(np.float32)
+    S_hi, orig = pad_to_multiple(S_hi, 0, n_shards)
+    S_lo, _ = pad_to_multiple(S_lo, 0, n_shards)
+    hi_d = jax.device_put(S_hi, x_sharding)
+    lo_d = jax.device_put(S_lo, x_sharding)
+
+    # ---- per-shard dd-Gram; (acc, comp) stacked, combined in f64 on host --
+    def local_gram(hi, lo):
+        acc, comp = _gram_dd_local(hi, lo, axes=(DATA_AXIS, KMER_AXIS))
+        return acc[None], comp[None]
+
+    gram_fn = jax.jit(
+        jax.shard_map(
+            local_gram,
+            mesh=mesh,
+            in_specs=(P((DATA_AXIS, KMER_AXIS), None),) * 2,
+            out_specs=(P((DATA_AXIS, KMER_AXIS), None, None),) * 2,
+        )
     )
-    coords, inertia, phi, sv = fn(xs)
+    accs, comps = gram_fn(hi_d, lo_d)
+    G = (
+        np.asarray(_host(accs), dtype=np.float64)
+        - np.asarray(_host(comps), dtype=np.float64)
+    ).sum(axis=0)
+    # ---- tiny factorization in host float64 (matches core.ca.fit_ca) ----
+    evals, evecs = np.linalg.eigh(G)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order][:d], evecs[:, order][:, :d]
+    evals = np.maximum(evals, 0.0)
+    sv = np.sqrt(evals)
+    signs = np.sign(evecs[np.argmax(np.abs(evecs), axis=0), np.arange(d)])
+    signs = np.where(signs == 0, 1.0, signs)
+    V = evecs * signs[None, :]
+    sample_coords = V * sv[None, :] / np.sqrt(c_safe)[:, None]
+    sv_safe = np.where(sv > 0, sv, 1.0)
+    total_in = evals.sum()
+    inertia = evals / total_in if total_in > 0 else evals
+    # ---- phi = D_r^-1/2 S V Sigma^-1: the big matmul, on device f32 ----
+    rs_pad, _ = pad_to_multiple(
+        (1.0 / np.sqrt(r_safe) * (r > 0)).astype(np.float32)[:, None], 0, n_shards
+    )
+    phi_fn = jax.jit(
+        lambda hi, vs, rs: jnp.dot(
+            hi, vs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * rs,
+        out_shardings=x_sharding,
+    )
+    phi = phi_fn(
+        hi_d,
+        jax.device_put(
+            (V / sv_safe[None, :]).astype(np.float32),
+            NamedSharding(mesh, P(None, None)),
+        ),
+        jax.device_put(rs_pad, x_sharding),
+    )
     return (
-        _host(coords),
-        _host(inertia),
-        _host(phi)[:orig].T,
-        _host(sv),
+        sample_coords,
+        inertia,
+        np.asarray(_host(phi), dtype=np.float64)[:orig].T,
+        sv,
     )
 
 
