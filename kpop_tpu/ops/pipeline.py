@@ -120,11 +120,14 @@ def build_classifier_params(
                 vocab_lo=jnp.asarray(sorted_lo),
             )
         tw_rows = tw.T[order]
+    # dtype applies to the twister only (the one large tensor: bf16 halves
+    # its HBM footprint and feeds the MXU natively); metric/class tensors
+    # are tiny and stay f32, and all accumulations are f32
     return ClassifierParams(
         twister=jnp.asarray(tw_rows, dtype=dtype),
-        metric=jnp.asarray(mvec, dtype=dtype),
-        class_coords=jnp.asarray(class_coords, dtype=dtype),
-        class_norms=jnp.asarray(cls_norms, dtype=dtype),
+        metric=jnp.asarray(mvec, dtype=jnp.float32),
+        class_coords=jnp.asarray(class_coords, dtype=jnp.float32),
+        class_norms=jnp.asarray(cls_norms, dtype=jnp.float32),
         k=space.k,
         canonical=space.canonical,
         base=space.base,
@@ -167,9 +170,10 @@ def count_spectra(params: ClassifierParams, base_codes: "jnp.ndarray"):
     tgt = vocab_lookup(params, base_codes)
     B, W = tgt.shape
     tgt = jax.lax.optimization_barrier(tgt)
-    out = jnp.zeros((B, V + 1), dtype=params.twister.dtype)
+    # counts accumulate in f32 even when the twister is stored bf16
+    out = jnp.zeros((B, V + 1), dtype=jnp.float32)
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
-    out = out.at[b_idx, tgt].add(jnp.ones((B, W), dtype=params.twister.dtype))
+    out = out.at[b_idx, tgt].add(jnp.ones((B, W), dtype=jnp.float32))
     return out[:, :V]
 
 
@@ -195,7 +199,7 @@ def project_reads(
     d = params.twister.shape[1]
     idx = vocab_lookup(params, base_codes)  # [B, W]
     B, W = idx.shape
-    known = (idx < V).astype(params.twister.dtype)
+    known = (idx < V).astype(jnp.float32)
     acc_counts = known.sum(axis=1)  # [B]
     tw_ext = jnp.concatenate(
         [params.twister, jnp.zeros((1, d), params.twister.dtype)], axis=0
@@ -207,9 +211,9 @@ def project_reads(
 
     def body(acc, idx_chunk):
         contrib = tw_ext[idx_chunk]  # [B, chunk, d] gather
-        return acc + contrib.sum(axis=1), None
+        return acc + contrib.sum(axis=1, dtype=jnp.float32), None
 
-    acc0 = jnp.zeros((B, d), params.twister.dtype)
+    acc0 = jnp.zeros((B, d), jnp.float32)
     twisted, _ = jax.lax.scan(body, acc0, idx_r)
     if normalize:
         twisted = twisted / jnp.where(acc_counts == 0.0, 1.0, acc_counts)[:, None]
@@ -226,7 +230,9 @@ def project(params: ClassifierParams, spectra: "jnp.ndarray", normalize=True):
         sums = spectra.sum(axis=1, keepdims=True)
         spectra = spectra / jnp.where(sums == 0.0, 1.0, sums)
     return jnp.dot(
-        spectra, params.twister, preferred_element_type=params.twister.dtype
+        spectra.astype(params.twister.dtype),
+        params.twister,
+        preferred_element_type=jnp.float32,
     )
 
 

@@ -312,3 +312,67 @@ def test_cuckoo_build_and_lookup(jnp):
             cuckoo_lookup(jnp.asarray(table), seeds, V, jnp.asarray(ah), jnp.asarray(al))
         )
         assert (miss == V).all()
+
+
+def test_bf16_twister_storage_parity(jnp):
+    """bf16 twister storage (build_classifier_params(dtype=bfloat16)): all
+    accumulations stay f32, so classifications must agree with the f32
+    params on a real trained workload and coordinates stay within bf16
+    resolution."""
+    import io
+
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.twister import twist_counter_db
+    from kpop_tpu.ops.encode import encode_reads_host
+    from kpop_tpu.ops.pipeline import (
+        build_classifier_params,
+        count_spectra,
+        distances_to_classes,
+        project,
+    )
+
+    rng = np.random.default_rng(7)
+    space = KmerSpace("DNA-ds", 6)
+    db = CounterDB()
+    ancestors = [rng.integers(0, 4, size=400) for _ in range(8)]
+    for c, anc in enumerate(ancestors):
+        seqs = []
+        for _ in range(3):
+            g = anc.copy()
+            pos = rng.choice(400, size=12, replace=False)
+            g[pos] = (g[pos] + rng.integers(1, 4, size=12)) % 4
+            seqs.append("".join(np.array(list("ACGT"))[g]))
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(io.StringIO(
+            "\tC%d\n" % c + "".join(
+                "%s\t%d\n" % (space.code_to_hex(cd), ct)
+                for cd, ct in zip(codes, counts))))
+    twister, twisted, _ = twist_counter_db(db)
+    coords = np.asarray(twisted.matrix.data)
+    p32 = build_classifier_params(space, twister, coords)
+    pbf = build_classifier_params(
+        space, twister, coords, dtype=jnp.bfloat16
+    )
+    assert pbf.twister.dtype == jnp.bfloat16
+    assert pbf.metric.dtype == jnp.float32
+    queries = []
+    truth = []
+    for c, anc in enumerate(ancestors):
+        g = anc.copy()
+        pos = rng.choice(400, size=10, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 4, size=10)) % 4
+        queries.append("".join(np.array(list("ACGT"))[g]))
+        truth.append(c)
+    batch = jnp.asarray(encode_reads_host(queries))
+
+    def predict(params):
+        spectra = count_spectra(params, batch)
+        tw = project(params, spectra)
+        assert tw.dtype == jnp.float32  # f32 accumulation regardless
+        return np.asarray(distances_to_classes(params, tw)).argmin(axis=1)
+
+    pred32 = predict(p32)
+    predbf = predict(pbf)
+    np.testing.assert_array_equal(pred32, predbf)
+    np.testing.assert_array_equal(pred32, np.asarray(truth))
