@@ -265,6 +265,16 @@ def main() -> None:
         jax.device_get(outs[-1])
         return n * B / (time.perf_counter() - t0)
 
+    # pipelined (async dispatch: host encode of batch n+1 overlaps device
+    # compute + transfers of batch n — the production loop) vs serialized
+    # (device_get after every batch): the measured value of overlap
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        jax.device_get(encode_and_dispatch(params))
+    ser = n_batches * B / (time.perf_counter() - t0)
+    details["serving_serialized_seqs_per_s"] = round(ser, 1)
+    details["pipelining_speedup"] = round(seqs_per_s / ser, 3)
+
     details["device_only_seqs_per_s_f32"] = round(device_only(params, 20), 1)
     jax.device_get(encode_and_dispatch(params_bf16))  # compile bf16 variant
     details["device_only_seqs_per_s_bf16"] = round(

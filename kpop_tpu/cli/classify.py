@@ -24,7 +24,7 @@ from ..core.matrix import KPopMatrix, MatrixType
 from ..core.space import Distance, Metric, summarize_distance_row
 from ..core.twister import Twister
 from ..io.reads import FastaInput, PairedEndFastqInput, SingleEndFastqInput, iter_reads
-from ..utils.cli import ParseError, Parser
+from ..utils.cli import Args, ParseError, Parser
 from ..utils.naming import SUMMARY_EXT, close_if_owned, open_out, with_ext
 
 
@@ -96,6 +96,7 @@ def main(argv=None) -> int:
         "normalize": True,
         "verbose": False,
         "profile": "",
+        "dtype": "f32",
     }
     p = Parser(
         "KPopClassify",
@@ -145,6 +146,18 @@ def main(argv=None) -> int:
           ["metric function"],
           lambda a: state.update(metric=Metric.of_string(a.get())),
           "powers(1,1,2)")
+
+    def set_dtype(a: Args):
+        v = a.get()
+        if v not in ("f32", "bf16"):
+            raise ParseError(f"Invalid dtype '{v}'")
+        state["dtype"] = v
+
+    p.opt(["--dtype"], "'f32'|'bf16'",
+          ["device storage dtype for the twister matrix (bf16 halves HBM",
+           "footprint/traffic of the one large tensor; all accumulations",
+           "stay f32; kpop-tpu extension)"],
+          set_dtype, "f32")
     p.opt(["--profile"], "<trace_directory>",
           ["write a JAX/XLA profiler trace of the run (view with",
            "tensorboard or xprof; kpop-tpu extension)"],
@@ -189,6 +202,7 @@ def main(argv=None) -> int:
             np.asarray(targets.matrix.data, dtype=np.float64),
             distance=state["distance"],
             metric=state["metric"],
+            dtype=jnp.bfloat16 if state["dtype"] == "bf16" else jnp.float32,
         )
 
         @jax.jit

@@ -382,3 +382,50 @@ def test_classify_k_inference_validation(tmp_path):
     # k=6 k-mers use codes >= 4^5, so inference is unambiguous here
     sh("kpop-classify -T TW -t TW -f t.fasta -o OK", tmp_path)
     assert (tmp_path / "OK.KPopSummary.txt").exists()
+
+
+def test_classify_dtype_bf16_cli(tmp_path):
+    """kpop-classify --dtype bf16 (bf16 twister storage, f32 accumulation)
+    must predict the same classes as the f32 run."""
+    import io as _io
+
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+
+    rng = np.random.default_rng(23)
+    k = 6
+    space = KmerSpace("DNA-ds", k)
+    bases = np.array(list("ACGT"))
+    fams = [rng.integers(0, 4, size=500) for _ in range(5)]
+
+    def mut(g, n):
+        g = g.copy()
+        pos = rng.choice(len(g), size=n, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 4, size=n)) % 4
+        return g
+
+    db = CounterDB()
+    for fi, fam in enumerate(fams):
+        seqs = ["".join(bases[mut(fam, 12)]) for _ in range(3)]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(_io.StringIO(
+            "\tF%d\n" % fi + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(c)), v)
+                for c, v in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    (tmp_path / "test.fasta").write_text("\n".join(
+        ">T%d-F%d\n%s" % (i, i % 5, "".join(bases[mut(fams[i % 5], 10)]))
+        for i in range(10)) + "\n")
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    sh("kpop-classify -T TW -t TW -f test.fasta -o F32", tmp_path)
+    sh("kpop-classify -T TW -t TW --dtype bf16 -f test.fasta -o BF16", tmp_path)
+    f32 = sorted((tmp_path / "F32.KPopSummary.txt").read_text().splitlines())
+    bf16 = sorted((tmp_path / "BF16.KPopSummary.txt").read_text().splitlines())
+    assert len(f32) == len(bf16) == 10
+    for lf, lb in zip(f32, bf16):
+        pf, pb = lf.split("\t"), lb.split("\t")
+        assert pf[0] == pb[0] and pf[5] == pb[5]
+        # bf16 distances agree to bf16 resolution
+        for a, b in zip(pb[1:5], pf[1:5]):
+            assert abs(float(a) - float(b)) < 2e-2 * max(1.0, abs(float(b)))
