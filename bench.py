@@ -276,6 +276,43 @@ def main() -> None:
     details["pipelining_speedup"] = round(seqs_per_s / ser, 3)
 
     details["device_only_seqs_per_s_f32"] = round(device_only(params, 20), 1)
+
+    # train-to-serve handoff: retrain with the twister kept ON DEVICE
+    # (phi="device" skips the [K, d] download and the serving re-upload)
+    from kpop_tpu.core.space import Distance as _Dist, Metric, normalizations
+    from kpop_tpu.ops.pipeline import ClassifierParams
+
+    t0 = time.perf_counter()
+    c2, i2, phi_dev, sv2 = ca_fit_sharded(mesh, table_n, phi="device")
+    handoff_s = time.perf_counter() - t0
+    mvec = twister.metrics_vector(Metric.of_string("powers(1,1,2)"))
+    cls_norms = normalizations(_Dist.of_string("euclidean"), mvec, c2)
+    kmer_codes = np.array(
+        [space.hex_to_code(h) for h in vocab_hex], dtype=np.int64
+    )
+    V = len(vocab_hex)
+    lut = np.full(space.n_kmers + 1, V, dtype=np.int32)
+    lut[kmer_codes] = np.arange(V, dtype=np.int32)
+    params_dev = ClassifierParams(
+        vocab_lut=jnp.asarray(lut),
+        twister=phi_dev,
+        metric=jnp.asarray(mvec, jnp.float32),
+        class_coords=jnp.asarray(c2.astype(np.float32)),
+        class_norms=jnp.asarray(cls_norms.astype(np.float32)),
+        k=k,
+        canonical=True,
+    )
+    pred_dev = jax.device_get(encode_and_dispatch(params_dev))
+    details["train_to_serve_handoff"] = {
+        "ca_wall_s": round(handoff_s, 3),
+        "vs_host_twister_ca_wall_s": details["ca_train"]["wall_s_cold"],
+        "pred_matches": float(
+            (np.asarray(pred_dev[0])[:, 0] == np.asarray(first[0])[:, 0]).mean()
+        ),
+        "note": "compiled CA rerun with the twister left device-resident; "
+                "the delta vs wall_s_cold is compile + the [K, d] download",
+    }
+
     jax.device_get(encode_and_dispatch(params_bf16))  # compile bf16 variant
     details["device_only_seqs_per_s_bf16"] = round(
         device_only(params_bf16, 20), 1

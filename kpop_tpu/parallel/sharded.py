@@ -139,11 +139,18 @@ def ca_fit_sharded(
     table: np.ndarray,
     n_dims: int | None = None,
     precision: str = "dd",
+    phi: str = "host",
 ):
     """Fit CA with the k-mer axis sharded across the whole mesh.
 
-    ``table``: host [n_kmers, n_samples].  Returns host arrays
-    (sample_coords, inertia, twister [d, K], sv).
+    ``table``: host [n_kmers, n_samples].  Returns
+    (sample_coords, inertia, twister, sv) — host float64 arrays, except that
+    with ``phi="device"`` the twister comes back as the device-resident
+    ``[K, d]`` float32 row matrix (k-mers x dims, table row order, sharded
+    over the mesh) instead of the host ``[d, K]`` transpose.  The device
+    form feeds straight into serving (``ClassifierParams.twister``) without
+    a download+re-upload round trip — at a 221K x 512 training table that
+    skips ~0.5 GB of host traffic.
 
     ``precision="dd"`` (default): standardized residuals are computed on the
     host in float64 and shipped as TWO float32 limbs; each shard accumulates
@@ -170,13 +177,9 @@ def ca_fit_sharded(
                 NamedSharding(mesh, P(None)),
             ),
         )
-        coords, inertia, phi, sv = fn(xs)
-        return (
-            _host(coords),
-            _host(inertia),
-            _host(phi)[:orig].T,
-            _host(sv),
-        )
+        coords, inertia, phi_d, sv = fn(xs)
+        tw = phi_d[:orig] if phi == "device" else _host(phi_d)[:orig].T
+        return (_host(coords), _host(inertia), tw, _host(sv))
     if precision != "dd":
         raise ValueError(f"unknown CA precision {precision!r}")
     # ---- host float64 standardized residuals (elementwise, cheap) ----
@@ -237,7 +240,7 @@ def ca_fit_sharded(
         ) * rs,
         out_shardings=x_sharding,
     )
-    phi = phi_fn(
+    phi_d = phi_fn(
         hi_d,
         jax.device_put(
             (V / sv_safe[None, :]).astype(np.float32),
@@ -245,12 +248,12 @@ def ca_fit_sharded(
         ),
         jax.device_put(rs_pad, x_sharding),
     )
-    return (
-        sample_coords,
-        inertia,
-        np.asarray(_host(phi), dtype=np.float64)[:orig].T,
-        sv,
+    tw = (
+        phi_d[:orig]
+        if phi == "device"
+        else np.asarray(_host(phi_d), dtype=np.float64)[:orig].T
     )
+    return (sample_coords, inertia, tw, sv)
 
 
 # ---------------- projection ----------------

@@ -104,3 +104,27 @@ def test_ca_dd_beats_fast_at_long_axis(mesh):
     assert err(c_dd, want.sample_coords) * 5 < err(c_f, want.sample_coords)
     assert err(sv_dd, want.sv) * 5 < err(sv_f, want.sv)
     assert err(t_dd, want.twister) * 5 < err(t_f, want.twister)
+
+
+def test_ca_device_phi_handoff(mesh):
+    """phi='device' returns the twister as device-resident [K, d] rows in
+    table order — serving params built from it must classify identically to
+    the host-twister route (the train-to-serve handoff path)."""
+    import jax.numpy as jnp
+
+    from kpop_tpu.parallel.sharded import ca_fit_sharded
+
+    rng = np.random.default_rng(8)
+    table = rng.random((97, 6)) * 10.0
+    c1, i1, tw_host, sv1 = ca_fit_sharded(mesh, table)
+    c2, i2, tw_dev, sv2 = ca_fit_sharded(mesh, table, phi="device")
+    assert isinstance(tw_dev, jnp.ndarray) and tw_dev.shape == (97, 5)
+    np.testing.assert_allclose(
+        np.asarray(tw_dev, dtype=np.float64).T, tw_host, rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(c1, c2, rtol=0, atol=0)
+    # fast path too
+    _c, _i, tw_dev_f, _s = ca_fit_sharded(
+        mesh, table, precision="fast", phi="device"
+    )
+    assert tw_dev_f.shape == (97, 5)
