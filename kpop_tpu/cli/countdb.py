@@ -118,9 +118,10 @@ def main(argv=None) -> int:
     )
     p.opt(
         ["--backend"],
-        "'host'|'jax'",
+        "'host'|'jax'|'pallas'",
         ["compute backend for --distances: float64 host numpy (exact,",
-         "default) or float32 device matmul (kpop-tpu extension)"],
+         "default), float32 device matmul ('jax'), or the tiled Pallas",
+         "kernel ('pallas', euclidean; kpop-tpu extensions)"],
         lambda a: (lambda v: act(lambda st: st.update(backend=v)))(a.get()),
         "host",
     )
@@ -139,43 +140,21 @@ def main(argv=None) -> int:
             m1 = db.submatrix_normalized(s1, st["distance_normalize"])
             m2 = db.submatrix_normalized(s2, st["distance_normalize"])
             metric = np.ones(db.n_rows)
-            if st["backend"] in ("jax", "tpu", "device") and st[
+            if st["backend"] in ("jax", "tpu", "device", "pallas") and st[
                 "distance"
             ].kind in ("euclidean", "cosine"):
                 # device path for the huge raw-spectrum dimension
-                from ..core.matrix import NamedMatrix
-                from ..config import jax_setup
+                # ('pallas' routes euclidean blocks through the tiled kernel)
+                from ..ops.summaries import distance_rowwise_device
 
-                jax = jax_setup()
-                import jax.numpy as jnp
-
-                @jax.jit
-                def dist(a, b, m):
-                    na = jnp.sqrt((a * a * m[None, :]).sum(1))
-                    na = jnp.where(na == 0, 1.0, na)
-                    nb = jnp.sqrt((b * b * m[None, :]).sum(1))
-                    nb = jnp.where(nb == 0, 1.0, nb)
-                    an, bn = a / na[:, None], b / nb[:, None]
-                    am = an * m[None, :]
-                    cross = jnp.dot(bn, am.T, preferred_element_type=jnp.float32)
-                    na2 = (am * an).sum(1)
-                    nb2 = (bn * bn * m[None, :]).sum(1)
-                    acc = jnp.maximum(nb2[:, None] + na2[None, :] - 2 * cross, 0.0)
-                    return (
-                        jnp.sqrt(acc)
-                        if st["distance"].kind == "euclidean"
-                        else acc / 2.0
-                    )
-
-                data = np.asarray(
-                    dist(
-                        jnp.asarray(m1.data, dtype=jnp.float32),
-                        jnp.asarray(m2.data, dtype=jnp.float32),
-                        jnp.asarray(metric, dtype=jnp.float32),
-                    ),
-                    dtype=np.float64,
+                dm = distance_rowwise_device(
+                    st["distance"],
+                    metric,
+                    m1,
+                    m2,
+                    normalize=True,
+                    backend=st["backend"],
                 )
-                dm = NamedMatrix(list(m2.row_names), list(m1.row_names), data)
             else:
                 dm = distance_rowwise(
                     st["distance"], metric, m1, m2, normalize=True
