@@ -54,7 +54,7 @@ def _spectra_text(space, label, seqs):
 
 def _classifier_scenario(
     name, rng, k, n_classes, per_class_train, n_test, genome_len, mut_class,
-    mut_seq,
+    mut_seq, backend="host",
 ):
     space = KmerSpace("DNA-ds", k)
     root = rng.integers(0, 4, size=genome_len)
@@ -71,7 +71,9 @@ def _classifier_scenario(
         )
     t_count = time.perf_counter() - t0
     t0 = time.perf_counter()
-    twister, twisted, _ = twist_counter_db(db, TwistParameters())
+    twister, twisted, _ = twist_counter_db(
+        db, TwistParameters(), backend="jax" if backend != "host" else "host"
+    )
     t_twist = time.perf_counter() - t0
     # test set
     truth, entries = [], []
@@ -94,22 +96,33 @@ def _classifier_scenario(
     from kpop_tpu.core.matrix import NamedMatrix
     from kpop_tpu.core.space import summarize_rowwise
 
-    lines = summarize_rowwise(
-        Distance.of_string("euclidean"),
-        metric,
-        twisted.matrix,
-        NamedMatrix(
-            ["q%d" % i for i in range(n_test)],
-            list(twisted.matrix.col_names),
-            projected,
-        ),
+    queries = NamedMatrix(
+        ["q%d" % i for i in range(n_test)],
+        list(twisted.matrix.col_names),
+        projected,
     )
+    if backend == "host":
+        lines = summarize_rowwise(
+            Distance.of_string("euclidean"), metric, twisted.matrix, queries
+        )
+    else:
+        import io as _io
+
+        from kpop_tpu.ops.summaries import summarize_rowwise_device
+
+        buf = _io.StringIO()
+        summarize_rowwise_device(
+            Distance.of_string("euclidean"), metric, twisted.matrix, queries,
+            keep_at_most=2, normalize=True, out=buf, backend=backend,
+        )
+        lines = buf.getvalue().splitlines()
     t_project = time.perf_counter() - t0
     correct = sum(
         1 for ln, t in zip(lines, truth) if ln.split("\t")[5] == t
     )
     return {
         "scenario": name,
+        "backend": backend,
         "k": k,
         "classes": n_classes,
         "test_sequences": n_test,
@@ -121,25 +134,26 @@ def _classifier_scenario(
     }
 
 
-def quickstart(scale=1):
+def quickstart(scale=1, backend="host"):
     rng = np.random.default_rng(1)
     return _classifier_scenario(
         "quickstart", rng, k=5, n_classes=10, per_class_train=10 * scale,
         n_test=100 * scale, genome_len=300, mut_class=60, mut_seq=12,
+        backend=backend,
     )
 
 
-def covid(scale=1):
+def covid(scale=1, backend="host"):
     """SARS-CoV-2-like: long genomes, many classes (BASELINE.md row 4)."""
     rng = np.random.default_rng(2)
     return _classifier_scenario(
         "covid-like", rng, k=10, n_classes=24 * scale, per_class_train=3,
         n_test=60 * scale, genome_len=3000 * min(scale, 10), mut_class=250,
-        mut_seq=25,
+        mut_seq=25, backend=backend,
     )
 
 
-def tb(scale=1):
+def tb(scale=1, backend="host"):
     """Reads-based classifier (BASELINE.md TB workload shape)."""
     rng = np.random.default_rng(3)
     space = KmerSpace("DNA-ds", 12)
@@ -159,10 +173,13 @@ def tb(scale=1):
         db.add_spectra_bytes(_spectra_text(space, "C%d" % c, reads).encode())
     t_count = time.perf_counter() - t0
     t0 = time.perf_counter()
-    twister, twisted, _ = twist_counter_db(db, TwistParameters())
+    twister, twisted, _ = twist_counter_db(
+        db, TwistParameters(), backend="jax" if backend != "host" else "host"
+    )
     t_twist = time.perf_counter() - t0
     return {
         "scenario": "tb-reads-like",
+        "backend": backend,
         "k": 12,
         "classes": n_classes,
         "reads": n_reads,
@@ -173,7 +190,7 @@ def tb(scale=1):
     }
 
 
-def relatedness(scale=1):
+def relatedness(scale=1, backend="host"):
     """All-pairs distance matrix + splits (BASELINE.md row 8)."""
     rng = np.random.default_rng(4)
     space = KmerSpace("DNA-ds", 7)
@@ -189,7 +206,14 @@ def relatedness(scale=1):
     metric = twister.metrics_vector(Metric.of_string("powers(1,1,2)"))
     dist = Distance.of_string("euclidean")
     t0 = time.perf_counter()
-    dm = get_distance_rowwise(dist, metric, twisted, twisted)
+    if backend == "host":
+        dm = get_distance_rowwise(dist, metric, twisted, twisted)
+    else:
+        from kpop_tpu.ops.summaries import distance_rowwise_device
+
+        dm = distance_rowwise_device(
+            dist, metric, twisted.matrix, twisted.matrix, backend=backend
+        )
     t_dist = time.perf_counter() - t0
     t0 = time.perf_counter()
     emb = get_embeddings(dist, metric, twisted)
@@ -197,6 +221,7 @@ def relatedness(scale=1):
     t_splits = time.perf_counter() - t0
     return {
         "scenario": "relatedness",
+        "backend": backend,
         "samples": n,
         "pairs": n * n,
         "distance_s": round(t_dist, 3),
@@ -219,10 +244,12 @@ def main(argv=None):
     ap.add_argument("scenario", nargs="?", default="all",
                     choices=[*SCENARIOS, "all"])
     ap.add_argument("--scale", type=int, default=1)
+    ap.add_argument("--backend", default="host",
+                    choices=["host", "jax", "pallas"])
     args = ap.parse_args(argv)
     names = list(SCENARIOS) if args.scenario == "all" else [args.scenario]
     for name in names:
-        print(json.dumps(SCENARIOS[name](args.scale)))
+        print(json.dumps(SCENARIOS[name](args.scale, backend=args.backend)))
     return 0
 
 
