@@ -16,7 +16,7 @@ from ..core.counter_db import CounterDB, TableFilter
 from ..core.matrix import KPopMatrix, MatrixType
 from ..core.space import Distance, distance_rowwise
 from ..core.transforms import Transformation
-from ..utils.cli import Args, ParseError, Parser, parse_regexp_selector
+from ..utils.cli import Args, Parser, parse_regexp_selector
 
 
 def main(argv=None) -> int:

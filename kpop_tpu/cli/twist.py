@@ -11,7 +11,6 @@ the reference are replaced by the in-memory JAX/numpy CA.
 from __future__ import annotations
 
 import sys
-from dataclasses import replace as dc_replace
 
 from .. import __version__
 from ..core.counter_db import CounterDB

@@ -12,7 +12,7 @@ import sys
 from typing import List
 
 from .. import __version__
-from ..core.matrix import KPopMatrix, MatrixType, UnexpectedType
+from ..core.matrix import KPopMatrix, MatrixType
 from ..core.space import (
     Distance,
     Metric,

@@ -19,7 +19,7 @@ Observable behaviour matches the reference:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import IO, Iterable, Iterator, List, Sequence, Tuple
+from typing import IO, Iterable, Sequence, Tuple
 
 import numpy as np
 

@@ -28,7 +28,7 @@ from ..utils.naming import (
 )
 from . import ca as ca_mod
 from .counter_db import CounterDB, TableFilter
-from .matrix import KPopMatrix, MatrixType, NamedMatrix, UnexpectedType
+from .matrix import KPopMatrix, MatrixType, NamedMatrix
 from .space import Metric
 from .transforms import Transformation
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import json
 import struct
-from typing import IO, Dict, Tuple
+from typing import IO, Dict
 
 import numpy as np
 

@@ -13,7 +13,7 @@ slack fall back to the host float64 path (rare; exact either way).
 from __future__ import annotations
 
 from functools import partial
-from typing import IO, List
+from typing import IO
 
 import numpy as np
 
