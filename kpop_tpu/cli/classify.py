@@ -211,6 +211,19 @@ def main(argv=None) -> int:
             twisted = project(p, spectra)
             return distances_to_classes(p, twisted)
 
+        # multi-chip: shard the sequence batch over a pure data-parallel
+        # mesh, replicate the parameters — the same jitted program scales
+        # from 1 chip to a slice (reference P2/P3 scatter, SURVEY §2.5)
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS, make_mesh
+
+            mesh = make_mesh(data_parallel=n_dev)
+            code_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+
         def dmat_of_seqs(seqs):
             codes = encode_reads_host(seqs) if space.base == 4 else None
             if codes is None:
@@ -221,9 +234,17 @@ def main(argv=None) -> int:
                 codes = np.full((len(enc), max(L, space.k)), -1, dtype=np.int8)
                 for i, e in enumerate(enc):
                     codes[i, : len(e)] = e
-            return np.asarray(
-                _dmat_device(params, jnp.asarray(codes)), dtype=np.float64
-            )
+            n = codes.shape[0]
+            if n_dev > 1:
+                pad = (-n) % n_dev
+                if pad:
+                    codes = np.concatenate(
+                        [codes, np.full((pad, codes.shape[1]), -1, np.int8)]
+                    )
+                cd = jax.device_put(codes, code_sharding)
+            else:
+                cd = jnp.asarray(codes)
+            return np.asarray(_dmat_device(params, cd), dtype=np.float64)[:n]
     else:
         # host fallback: exact float64 path (protein with large k, or
         # non-euclidean distances, which the fused device kernel doesn't
