@@ -18,6 +18,9 @@ This replaces the reference's manual multi-node scatter + ``-a`` file merges
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 
 from ..config import jax_setup
@@ -32,6 +35,28 @@ from .mesh import (  # noqa: E402
     device_canonical,
     pad_to_multiple,
 )
+
+
+class _PhaseTimer:
+    """Per-phase wall timers for :func:`ca_fit_sharded`, printed to stderr
+    when ``KPOP_CA_DEBUG`` is set (the analogue of the reference's hidden
+    ``--debug-twisting`` timing, bin/KPopTwistDB.ml:350)."""
+
+    def __init__(self, label: str):
+        self.on = bool(os.environ.get("KPOP_CA_DEBUG"))
+        self.label = label
+        self.t = time.perf_counter()
+
+    def mark(self, phase: str) -> None:
+        if self.on:
+            now = time.perf_counter()
+            import sys
+
+            sys.stderr.write(
+                "%s[%s]: %.2f s\n" % (self.label, phase, now - self.t)
+            )
+            sys.stderr.flush()
+            self.t = now
 
 
 def _host(arr) -> np.ndarray:
@@ -134,6 +159,49 @@ def _ca_math(table, n_dims: int):
     return sample_coords, inertia, phi, sv  # phi [K, d] sharded over kmer
 
 
+_CA_FN_CACHE: dict = {}
+
+
+def _gram_fn_cached(mesh: Mesh):
+    """The jitted per-shard dd-Gram, cached per mesh: a fresh
+    ``jax.jit(shard_map(...))`` every call would miss the jit cache and
+    recompile (~13 s per CA fit over the remote-compile tunnel)."""
+    key = ("gram", tuple(mesh.shape.items()), tuple(map(id, mesh.devices.flat)))
+    if key not in _CA_FN_CACHE:
+
+        def local_gram(hi, lo):
+            acc, comp = _gram_dd_local(hi, lo, axes=(DATA_AXIS, KMER_AXIS))
+            return acc[None], comp[None]
+
+        _CA_FN_CACHE[key] = jax.jit(
+            jax.shard_map(
+                local_gram,
+                mesh=mesh,
+                in_specs=(P((DATA_AXIS, KMER_AXIS), None),) * 2,
+                out_specs=(P((DATA_AXIS, KMER_AXIS), None, None),) * 2,
+            )
+        )
+    return _CA_FN_CACHE[key]
+
+
+def _phi_fn_cached(mesh: Mesh):
+    """Jitted phi matmul, cached per mesh (same recompile trap as the Gram)."""
+    key = ("phi", tuple(mesh.shape.items()), tuple(map(id, mesh.devices.flat)))
+    if key not in _CA_FN_CACHE:
+        x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+        _CA_FN_CACHE[key] = jax.jit(
+            lambda hi, vs, rs: jnp.dot(
+                hi,
+                vs,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            * rs,
+            out_shardings=x_sharding,
+        )
+    return _CA_FN_CACHE[key]
+
+
 def ca_fit_sharded(
     mesh: Mesh,
     table: np.ndarray,
@@ -168,54 +236,65 @@ def ca_fit_sharded(
     if precision == "fast":
         padded, orig = pad_to_multiple(device_canonical(table), 0, n_shards)
         xs = jax.device_put(padded, x_sharding)
-        fn = jax.jit(
-            lambda t: _ca_math(t, d),
-            out_shardings=(
-                NamedSharding(mesh, P(None, None)),
-                NamedSharding(mesh, P(None)),
-                x_sharding,
-                NamedSharding(mesh, P(None)),
-            ),
+        key = (
+            "fast",
+            d,
+            tuple(mesh.shape.items()),
+            tuple(map(id, mesh.devices.flat)),
         )
-        coords, inertia, phi_d, sv = fn(xs)
+        if key not in _CA_FN_CACHE:
+            _CA_FN_CACHE[key] = jax.jit(
+                lambda t: _ca_math(t, d),
+                out_shardings=(
+                    NamedSharding(mesh, P(None, None)),
+                    NamedSharding(mesh, P(None)),
+                    x_sharding,
+                    NamedSharding(mesh, P(None)),
+                ),
+            )
+        coords, inertia, phi_d, sv = _CA_FN_CACHE[key](xs)
         tw = phi_d[:orig] if phi == "device" else _host(phi_d)[:orig].T
         return (_host(coords), _host(inertia), tw, _host(sv))
     if precision != "dd":
         raise ValueError(f"unknown CA precision {precision!r}")
-    # ---- host float64 standardized residuals (elementwise, cheap) ----
-    N = np.asarray(table, dtype=np.float64)
-    total = N.sum()
-    P_ = N / total
-    r = P_.sum(axis=1)
-    c = P_.sum(axis=0)
+    # ---- host float64 standardized residuals (in place: the table is the
+    # size of the problem, so every avoided full-size temporary matters) ----
+    tm = _PhaseTimer("ca_fit_sharded")
+    S = np.array(table, dtype=np.float64)  # working copy
+    total = S.sum()
+    S /= total
+    r = S.sum(axis=1)
+    c = S.sum(axis=0)
     r_safe = np.where(r > 0, r, 1.0)
     c_safe = np.where(c > 0, c, 1.0)
-    S = (P_ - np.outer(r, c)) / np.sqrt(np.outer(r_safe, c_safe))
+    S /= np.sqrt(r_safe)[:, None]
+    S /= np.sqrt(c_safe)[None, :]
+    # rank-1 subtraction blocked to bound temporary memory
+    u = r / np.sqrt(r_safe)
+    v = c / np.sqrt(c_safe)
+    blk = max(1, (4 << 20) // max(1, S.shape[1]))
+    for i in range(0, S.shape[0], blk):
+        S[i : i + blk] -= u[i : i + blk, None] * v[None, :]
+    tm.mark("residuals")
+    # two float32 limbs; the hi upload is posted (async) before the lo limb
+    # is computed so the transfer overlaps the remaining host work
     S_hi = S.astype(np.float32)
-    S_lo = (S - S_hi.astype(np.float64)).astype(np.float32)
     S_hi, orig = pad_to_multiple(S_hi, 0, n_shards)
-    S_lo, _ = pad_to_multiple(S_lo, 0, n_shards)
     hi_d = jax.device_put(S_hi, x_sharding)
+    np.subtract(S, S_hi[: S.shape[0]], out=S)
+    S_lo = S.astype(np.float32)
+    del S
+    S_lo, _ = pad_to_multiple(S_lo, 0, n_shards)
     lo_d = jax.device_put(S_lo, x_sharding)
+    tm.mark("limbs+upload")
 
     # ---- per-shard dd-Gram; (acc, comp) stacked, combined in f64 on host --
-    def local_gram(hi, lo):
-        acc, comp = _gram_dd_local(hi, lo, axes=(DATA_AXIS, KMER_AXIS))
-        return acc[None], comp[None]
-
-    gram_fn = jax.jit(
-        jax.shard_map(
-            local_gram,
-            mesh=mesh,
-            in_specs=(P((DATA_AXIS, KMER_AXIS), None),) * 2,
-            out_specs=(P((DATA_AXIS, KMER_AXIS), None, None),) * 2,
-        )
-    )
-    accs, comps = gram_fn(hi_d, lo_d)
+    accs, comps = _gram_fn_cached(mesh)(hi_d, lo_d)
     G = (
         np.asarray(_host(accs), dtype=np.float64)
         - np.asarray(_host(comps), dtype=np.float64)
     ).sum(axis=0)
+    tm.mark("gram")
     # ---- tiny factorization in host float64 (matches core.ca.fit_ca) ----
     evals, evecs = np.linalg.eigh(G)
     order = np.argsort(evals)[::-1]
@@ -229,18 +308,12 @@ def ca_fit_sharded(
     sv_safe = np.where(sv > 0, sv, 1.0)
     total_in = evals.sum()
     inertia = evals / total_in if total_in > 0 else evals
+    tm.mark("eigh")
     # ---- phi = D_r^-1/2 S V Sigma^-1: the big matmul, on device f32 ----
     rs_pad, _ = pad_to_multiple(
         (1.0 / np.sqrt(r_safe) * (r > 0)).astype(np.float32)[:, None], 0, n_shards
     )
-    phi_fn = jax.jit(
-        lambda hi, vs, rs: jnp.dot(
-            hi, vs, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ) * rs,
-        out_shardings=x_sharding,
-    )
-    phi_d = phi_fn(
+    phi_d = _phi_fn_cached(mesh)(
         hi_d,
         jax.device_put(
             (V / sv_safe[None, :]).astype(np.float32),
@@ -253,6 +326,7 @@ def ca_fit_sharded(
         if phi == "device"
         else np.asarray(_host(phi_d), dtype=np.float64)[:orig].T
     )
+    tm.mark("phi")
     return (sample_coords, inertia, tw, sv)
 
 
