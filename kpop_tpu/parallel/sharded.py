@@ -109,7 +109,7 @@ def _gram_dd_local(hi, lo, n_blocks: int = 16, axes: tuple = ()):
     init = (jnp.zeros((ns, ns), jnp.float32), jnp.zeros((ns, ns), jnp.float32))
     if axes:
         # inside shard_map the carry must be marked device-varying
-        init = tuple(jax.lax.pvary(x, axes) for x in init)
+        init = tuple(jax.lax.pcast(x, axes, to="varying") for x in init)
     (acc, comp), _ = jax.lax.scan(body, init, (hb, lb))
     return acc, comp
 
@@ -202,12 +202,34 @@ def _phi_fn_cached(mesh: Mesh):
     return _CA_FN_CACHE[key]
 
 
+def _concat_fn_cached(mesh: Mesh, n_blocks: int):
+    """Jitted row-wise concat of the per-block phi results, cached per
+    (mesh, block count) so the device twister stays sharded end to end."""
+    key = (
+        "concat",
+        n_blocks,
+        tuple(mesh.shape.items()),
+        tuple(map(id, mesh.devices.flat)),
+    )
+    if key not in _CA_FN_CACHE:
+        if n_blocks == 1:
+            _CA_FN_CACHE[key] = lambda x: x
+        else:
+            x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+            _CA_FN_CACHE[key] = jax.jit(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                out_shardings=x_sharding,
+            )
+    return _CA_FN_CACHE[key]
+
+
 def ca_fit_sharded(
     mesh: Mesh,
     table: np.ndarray,
     n_dims: int | None = None,
     precision: str = "dd",
     phi: str = "host",
+    block_bytes: int = 64 << 20,
 ):
     """Fit CA with the k-mer axis sharded across the whole mesh.
 
@@ -257,43 +279,57 @@ def ca_fit_sharded(
         return (_host(coords), _host(inertia), tw, _host(sv))
     if precision != "dd":
         raise ValueError(f"unknown CA precision {precision!r}")
-    # ---- host float64 standardized residuals (in place: the table is the
-    # size of the problem, so every avoided full-size temporary matters) ----
+    # ---- host float64 standardized residuals, computed and uploaded block
+    # by block: device_put and the jitted Gram dispatch are asynchronous, so
+    # the transfers and the dd-Gram matmuls of block b overlap the host
+    # arithmetic of block b+1 (the two dominant costs of a big fit) ----
     tm = _PhaseTimer("ca_fit_sharded")
-    S = np.array(table, dtype=np.float64)  # working copy
-    total = S.sum()
-    S /= total
-    r = S.sum(axis=1)
-    c = S.sum(axis=0)
+    N = np.asarray(table)
+    total = float(N.sum(dtype=np.float64))
+    r = N.sum(axis=1, dtype=np.float64) / total
+    c = N.sum(axis=0, dtype=np.float64) / total
     r_safe = np.where(r > 0, r, 1.0)
     c_safe = np.where(c > 0, c, 1.0)
-    S /= np.sqrt(r_safe)[:, None]
-    S /= np.sqrt(c_safe)[None, :]
-    # rank-1 subtraction blocked to bound temporary memory
-    u = r / np.sqrt(r_safe)
-    v = c / np.sqrt(c_safe)
-    blk = max(1, (4 << 20) // max(1, S.shape[1]))
-    for i in range(0, S.shape[0], blk):
-        S[i : i + blk] -= u[i : i + blk, None] * v[None, :]
-    tm.mark("residuals")
-    # two float32 limbs; the hi upload is posted (async) before the lo limb
-    # is computed so the transfer overlaps the remaining host work
-    S_hi = S.astype(np.float32)
-    S_hi, orig = pad_to_multiple(S_hi, 0, n_shards)
-    hi_d = jax.device_put(S_hi, x_sharding)
-    np.subtract(S, S_hi[: S.shape[0]], out=S)
-    S_lo = S.astype(np.float32)
-    del S
-    S_lo, _ = pad_to_multiple(S_lo, 0, n_shards)
-    lo_d = jax.device_put(S_lo, x_sharding)
-    tm.mark("limbs+upload")
-
-    # ---- per-shard dd-Gram; (acc, comp) stacked, combined in f64 on host --
-    accs, comps = _gram_fn_cached(mesh)(hi_d, lo_d)
-    G = (
-        np.asarray(_host(accs), dtype=np.float64)
-        - np.asarray(_host(comps), dtype=np.float64)
-    ).sum(axis=0)
+    inv_sr = 1.0 / np.sqrt(r_safe)
+    inv_sc = 1.0 / np.sqrt(c_safe)
+    u = r * inv_sr  # sqrt(r), 0 where r == 0
+    v = c * inv_sc
+    tm.mark("masses")
+    # ~block_bytes of float32 per block, rounded to the shard count
+    target = max(1, block_bytes // max(1, ns * 4))
+    blkK = max(
+        n_shards,
+        min(-(-nk // n_shards) * n_shards, -(-target // n_shards) * n_shards),
+    )
+    n_blocks = -(-nk // blkK)
+    gram_fn = _gram_fn_cached(mesh)
+    hi_blocks = []  # device-resident hi limbs, reused for phi
+    gram_parts = []
+    for b in range(n_blocks):
+        i0, i1 = b * blkK, min(nk, (b + 1) * blkK)
+        Sb = np.array(N[i0:i1], dtype=np.float64)
+        Sb /= total
+        Sb *= inv_sr[i0:i1, None]
+        Sb *= inv_sc[None, :]
+        Sb -= u[i0:i1, None] * v[None, :]
+        if i1 - i0 < blkK:  # zero rows: no Gram contribution, phi dropped
+            Sb = np.concatenate(
+                [Sb, np.zeros((blkK - (i1 - i0), ns))], axis=0
+            )
+        hi = Sb.astype(np.float32)
+        hi_d = jax.device_put(hi, x_sharding)
+        np.subtract(Sb, hi, out=Sb)
+        lo_d = jax.device_put(Sb.astype(np.float32), x_sharding)
+        hi_blocks.append(hi_d)
+        gram_parts.append(gram_fn(hi_d, lo_d))
+    tm.mark("residuals+uploads")
+    # per-block per-shard (acc, comp) pairs combined in host float64
+    G = np.zeros((ns, ns))
+    for accs, comps in gram_parts:
+        G += (
+            np.asarray(_host(accs), dtype=np.float64)
+            - np.asarray(_host(comps), dtype=np.float64)
+        ).sum(axis=0)
     tm.mark("gram")
     # ---- tiny factorization in host float64 (matches core.ca.fit_ca) ----
     evals, evecs = np.linalg.eigh(G)
@@ -309,23 +345,28 @@ def ca_fit_sharded(
     total_in = evals.sum()
     inertia = evals / total_in if total_in > 0 else evals
     tm.mark("eigh")
-    # ---- phi = D_r^-1/2 S V Sigma^-1: the big matmul, on device f32 ----
-    rs_pad, _ = pad_to_multiple(
-        (1.0 / np.sqrt(r_safe) * (r > 0)).astype(np.float32)[:, None], 0, n_shards
+    # ---- phi = D_r^-1/2 S V Sigma^-1: the big matmul, on device f32,
+    # per hi block (kept device-resident above, so no re-upload) ----
+    Vs_d = jax.device_put(
+        (V / sv_safe[None, :]).astype(np.float32),
+        NamedSharding(mesh, P(None, None)),
     )
-    phi_d = _phi_fn_cached(mesh)(
-        hi_d,
-        jax.device_put(
-            (V / sv_safe[None, :]).astype(np.float32),
-            NamedSharding(mesh, P(None, None)),
-        ),
-        jax.device_put(rs_pad, x_sharding),
-    )
-    tw = (
-        phi_d[:orig]
-        if phi == "device"
-        else np.asarray(_host(phi_d), dtype=np.float64)[:orig].T
-    )
+    rs_full = (inv_sr * (r > 0)).astype(np.float32)
+    phi_fn = _phi_fn_cached(mesh)
+    phi_blocks = []
+    for b, hi_d in enumerate(hi_blocks):
+        rs_blk = np.zeros((blkK, 1), np.float32)
+        seg = rs_full[b * blkK : min(nk, (b + 1) * blkK)]
+        rs_blk[: seg.shape[0], 0] = seg
+        phi_blocks.append(
+            phi_fn(hi_d, Vs_d, jax.device_put(rs_blk, x_sharding))
+        )
+    if phi == "device":
+        tw = _concat_fn_cached(mesh, len(phi_blocks))(*phi_blocks)[:nk]
+    else:
+        tw = np.concatenate(
+            [np.asarray(_host(p), dtype=np.float64) for p in phi_blocks]
+        )[:nk].T
     tm.mark("phi")
     return (sample_coords, inertia, tw, sv)
 

@@ -106,6 +106,32 @@ def test_ca_dd_beats_fast_at_long_axis(mesh):
     assert err(t_dd, want.twister) * 5 < err(t_f, want.twister)
 
 
+def test_ca_dd_multi_block(mesh):
+    """A tiny block_bytes forces the dd path through several residual/upload
+    blocks; parity with host f64 and with phi='device' must hold across the
+    block boundaries (incl. the zero-padded tail of the last block)."""
+    import jax.numpy as jnp
+
+    from kpop_tpu.parallel.sharded import ca_fit_sharded
+
+    rng = np.random.default_rng(11)
+    table = rng.random((531, 6)) * 10.0  # 531 rows: ragged last block
+    want = fit_ca(table)
+    coords, inertia, twister, sv = ca_fit_sharded(
+        mesh, table, block_bytes=6 * 4 * 64  # 64 rows/block -> 9 blocks
+    )
+    np.testing.assert_allclose(sv, want.sv, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(coords, want.sample_coords, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(twister, want.twister, rtol=0, atol=1e-5)
+    _c, _i, tw_dev, _s = ca_fit_sharded(
+        mesh, table, phi="device", block_bytes=6 * 4 * 64
+    )
+    assert isinstance(tw_dev, jnp.ndarray) and tw_dev.shape == (531, 5)
+    np.testing.assert_allclose(
+        np.asarray(tw_dev, dtype=np.float64).T, twister, rtol=0, atol=1e-6
+    )
+
+
 def test_ca_device_phi_handoff(mesh):
     """phi='device' returns the twister as device-resident [K, d] rows in
     table order — serving params built from it must classify identically to
