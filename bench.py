@@ -116,19 +116,26 @@ def main() -> None:
     # ---- Phase B: on-device CA training (the CA-SVD wall-time north star) --
     mesh = make_mesh()
     # normalize columns like the KPopTwist driver default (src/KPopTwist:92-94)
+    # — as col_weights, so the integer count table rides the compact wire path
     csums = table.sum(axis=0)
-    table_n = table / np.where(csums == 0.0, 1.0, csums)[None, :]
+    col_w = 1.0 / np.where(csums == 0.0, 1.0, csums)
     log("CA training (cold, incl. compile + transfers)")
     t0 = time.perf_counter()
-    coords, inertia, twister_mat, sv = ca_fit_sharded(mesh, table_n)
+    coords, inertia, twister_mat, sv = ca_fit_sharded(
+        mesh, table, col_weights=col_w
+    )
     ca_cold_s = time.perf_counter() - t0
-    log("CA cold done %.1fs" % ca_cold_s)
+    from kpop_tpu.parallel import sharded as _sharded
+
+    log("CA cold done %.1fs (wire=%s)" % (ca_cold_s, _sharded.LAST_DD_UPLOAD))
     details["ca_train"] = {
         "table_shape": list(table.shape),
         "wall_s_cold": round(ca_cold_s, 3),
-        "note": "sharded two-limb CA incl. host residuals, device upload, "
-                "dd-Gram compile, host f64 eigh, device phi matmul + "
-                "download of the [K, d] twister",
+        "wire": _sharded.LAST_DD_UPLOAD,
+        "note": "sharded dd CA: compact exact-count upload, on-device "
+                "double-double residual reconstruction, dd-Gram compile, "
+                "host f64 eigh, device phi matmul + download of the "
+                "[K, d] twister",
     }
 
     # ---- trained artifacts -> serving parameters ----
@@ -283,7 +290,9 @@ def main() -> None:
     from kpop_tpu.ops.pipeline import ClassifierParams
 
     t0 = time.perf_counter()
-    c2, i2, phi_dev, sv2 = ca_fit_sharded(mesh, table_n, phi="device")
+    c2, i2, phi_dev, sv2 = ca_fit_sharded(
+        mesh, table, phi="device", col_weights=col_w
+    )
     handoff_s = time.perf_counter() - t0
     mvec = twister.metrics_vector(Metric.of_string("powers(1,1,2)"))
     cls_norms = normalizations(_Dist.of_string("euclidean"), mvec, c2)

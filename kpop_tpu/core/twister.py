@@ -323,13 +323,18 @@ def twist_counter_db(
     sel = np.nonzero(rsums >= rsums.max() * params.threshold_kmers)[0]
     kmer_names = [kmer_names[i] for i in sel]
     table = table[sel, :]
-    # [7/16] per-spectrum normalization (src/KPopTwist:92-94)
+    # [7/16] per-spectrum normalization (src/KPopTwist:92-94) — kept as
+    # separate column weights so the device CA can ship the (usually
+    # integer) table on its compact wire path
+    col_w = None
     if params.normalize:
         csums = table.sum(axis=0)
-        table = table / np.where(csums == 0.0, 1.0, csums)[None, :]
+        col_w = 1.0 / np.where(csums == 0.0, 1.0, csums)
     # [8/16] twist
     if backend == "host":
-        res = ca_mod.fit_ca(table)
+        res = ca_mod.fit_ca(
+            table if col_w is None else table * col_w[None, :]
+        )
     elif backend in ("jax", "tpu", "sharded"):
         # device CA: k-mer axis sharded over the full mesh, Gram matrix
         # psum-reduced (parallel/sharded.py)
@@ -337,7 +342,9 @@ def twist_counter_db(
         from ..parallel.sharded import ca_fit_sharded
 
         mesh = make_mesh()
-        coords, inertia, tw, sv = ca_fit_sharded(mesh, table)
+        coords, inertia, tw, sv = ca_fit_sharded(
+            mesh, table, col_weights=col_w
+        )
         res = ca_mod.CAResult(
             sample_coords=coords.astype(np.float64),
             inertia=inertia.astype(np.float64),

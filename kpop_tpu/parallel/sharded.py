@@ -159,6 +159,54 @@ def _ca_math(table, n_dims: int):
     return sample_coords, inertia, phi, sv  # phi [K, d] sharded over kmer
 
 
+def _gram_dd_from_compact_local(
+    x, ah, al, uh, ul, bh, bl, vh, vl, n_blocks: int = 16, axes: tuple = ()
+):
+    """Like :func:`_gram_dd_local`, but the two residual limbs are
+    RECONSTRUCTED on device from a compact exact table shard ``x`` and
+    dd-split scaling vectors (ops/dd.py), inside the scan body — so the
+    host uploads 1-4 bytes/entry instead of the 8 bytes of precomputed
+    limbs.  Returns ``(acc, comp)`` like :func:`_gram_dd_local`."""
+    from ..ops.dd import residual_dd
+
+    K, ns = x.shape
+    blk = max(1, -(-K // n_blocks))
+    pad = (-K) % blk
+    x = jnp.pad(x, ((0, pad), (0, 0)))
+    # padded rows: x == 0 and alpha == u == 0 -> residual == 0
+    ah, al, uh, ul = (jnp.pad(t, (0, pad)) for t in (ah, al, uh, ul))
+    xb = x.reshape(-1, blk, ns)
+    rb = jnp.stack(
+        [t.reshape(-1, blk) for t in (ah, al, uh, ul)], axis=1
+    )  # [n_blocks, 4, blk]
+    prec = jax.lax.Precision.HIGHEST
+
+    def body(carry, inp):
+        acc, comp = carry
+        xq, rv = inp
+        a1, a2, u1, u2 = rv[0], rv[1], rv[2], rv[3]
+        h, l = residual_dd(
+            xq.astype(jnp.float32),
+            a1[:, None], a2[:, None],
+            bh[None, :], bl[None, :],
+            u1[:, None], u2[:, None],
+            vh[None, :], vl[None, :],
+        )
+        g = jnp.dot(h.T, h, preferred_element_type=jnp.float32, precision=prec)
+        ghl = jnp.dot(h.T, l, preferred_element_type=jnp.float32, precision=prec)
+        g = g + ghl + ghl.T
+        y = g - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return (t, comp), None
+
+    init = (jnp.zeros((ns, ns), jnp.float32), jnp.zeros((ns, ns), jnp.float32))
+    if axes:
+        init = tuple(jax.lax.pcast(t, axes, to="varying") for t in init)
+    (acc, comp), _ = jax.lax.scan(body, init, (xb, rb))
+    return acc, comp
+
+
 _CA_FN_CACHE: dict = {}
 
 
@@ -182,6 +230,122 @@ def _gram_fn_cached(mesh: Mesh):
             )
         )
     return _CA_FN_CACHE[key]
+
+
+def _gram_compact_fn_cached(mesh: Mesh, kind: str):
+    """Jitted per-shard compact-table dd-Gram, cached per (mesh, dtype)."""
+    key = (
+        "gramc",
+        kind,
+        tuple(mesh.shape.items()),
+        tuple(map(id, mesh.devices.flat)),
+    )
+    if key not in _CA_FN_CACHE:
+
+        def local(x, ah, al, uh, ul, bh, bl, vh, vl):
+            acc, comp = _gram_dd_from_compact_local(
+                x, ah, al, uh, ul, bh, bl, vh, vl,
+                axes=(DATA_AXIS, KMER_AXIS),
+            )
+            return acc[None], comp[None]
+
+        row = P((DATA_AXIS, KMER_AXIS))
+        rep = P(None)
+        _CA_FN_CACHE[key] = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P((DATA_AXIS, KMER_AXIS), None),)
+                + (row,) * 4
+                + (rep,) * 4,
+                out_specs=(P((DATA_AXIS, KMER_AXIS), None, None),) * 2,
+            )
+        )
+    return _CA_FN_CACHE[key]
+
+
+def _phi_compact_fn_cached(mesh: Mesh, kind: str):
+    """Jitted phi matmul with the f32 residual limb reconstructed on device
+    from the compact table (no second upload of S)."""
+    key = (
+        "phic",
+        kind,
+        tuple(mesh.shape.items()),
+        tuple(map(id, mesh.devices.flat)),
+    )
+    if key not in _CA_FN_CACHE:
+        from ..ops.dd import residual_dd
+
+        x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+
+        def fn(x, ah, al, uh, ul, bh, bl, vh, vl, vs, rs):
+            h, _l = residual_dd(
+                x.astype(jnp.float32),
+                ah[:, None], al[:, None],
+                bh[None, :], bl[None, :],
+                uh[:, None], ul[:, None],
+                vh[None, :], vl[None, :],
+            )
+            return (
+                jnp.dot(
+                    h,
+                    vs,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                * rs
+            )
+
+        _CA_FN_CACHE[key] = jax.jit(fn, out_shardings=x_sharding)
+    return _CA_FN_CACHE[key]
+
+
+#: set by the last dd-path ca_fit_sharded call: "u8"/"u16"/"f32" when the
+#: compact on-device-residual upload was used, "limbs" for the two-limb
+#: host-residual fallback (introspection for tests and KPOP_CA_DEBUG).
+LAST_DD_UPLOAD: str | None = None
+
+
+def _compact_exact_cast(table: np.ndarray):
+    """Return ``(compact_array, kind)`` when every table value is exactly
+    representable in float32 — ``kind`` in {"u8", "u16", "f32"} picks the
+    smallest wire dtype — else ``(None, None)``.  One blocked pass."""
+    if table.dtype == np.float32:
+        kind_arr = table
+        is_int, mx, mn = False, None, None
+        # still probe integrality/range for a smaller wire dtype
+        is_int = bool(
+            (table >= 0).all() and (table == np.floor(table)).all()
+        )
+        if is_int and table.size:
+            mx = float(table.max())
+    elif np.issubdtype(table.dtype, np.integer):
+        mn = int(table.min()) if table.size else 0
+        mx = int(table.max()) if table.size else 0
+        if mn < 0 or mx >= (1 << 24):
+            return None, None
+        is_int, kind_arr = True, table
+    elif table.dtype == np.float64:
+        step = max(1, (8 << 20) // max(1, int(table.shape[1])))
+        is_int, mx = True, 0.0
+        for i in range(0, table.shape[0], step):
+            blk = table[i : i + step]
+            if not np.array_equal(blk, blk.astype(np.float32)):
+                return None, None
+            if is_int and not (
+                (blk >= 0).all() and (blk == np.floor(blk)).all()
+            ):
+                is_int = False
+            m = float(blk.max()) if blk.size else 0.0
+            mx = m if m > mx else mx
+        kind_arr = table
+    else:
+        return None, None
+    if is_int and mx is not None and mx < 256:
+        return kind_arr.astype(np.uint8), "u8"
+    if is_int and mx is not None and mx < 65536:
+        return kind_arr.astype(np.uint16), "u16"
+    return kind_arr.astype(np.float32), "f32"
 
 
 def _phi_fn_cached(mesh: Mesh):
@@ -223,6 +387,25 @@ def _concat_fn_cached(mesh: Mesh, n_blocks: int):
     return _CA_FN_CACHE[key]
 
 
+def _factor_gram_host(G: np.ndarray, d: int, c_safe: np.ndarray):
+    """Host float64 eigendecomposition of the [ns, ns] Gram + the CA output
+    conventions (descending order, deterministic column signs, principal
+    sample coordinates) — shared by both dd upload paths."""
+    evals, evecs = np.linalg.eigh(G)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order][:d], evecs[:, order][:, :d]
+    evals = np.maximum(evals, 0.0)
+    sv = np.sqrt(evals)
+    signs = np.sign(evecs[np.argmax(np.abs(evecs), axis=0), np.arange(d)])
+    signs = np.where(signs == 0, 1.0, signs)
+    V = evecs * signs[None, :]
+    sample_coords = V * sv[None, :] / np.sqrt(c_safe)[:, None]
+    sv_safe = np.where(sv > 0, sv, 1.0)
+    total_in = evals.sum()
+    inertia = evals / total_in if total_in > 0 else evals
+    return sample_coords, inertia, sv, V, sv_safe
+
+
 def ca_fit_sharded(
     mesh: Mesh,
     table: np.ndarray,
@@ -230,6 +413,7 @@ def ca_fit_sharded(
     precision: str = "dd",
     phi: str = "host",
     block_bytes: int = 64 << 20,
+    col_weights: np.ndarray | None = None,
 ):
     """Fit CA with the k-mer axis sharded across the whole mesh.
 
@@ -242,13 +426,24 @@ def ca_fit_sharded(
     a download+re-upload round trip — at a 221K x 512 training table that
     skips ~0.5 GB of host traffic.
 
-    ``precision="dd"`` (default): standardized residuals are computed on the
-    host in float64 and shipped as TWO float32 limbs; each shard accumulates
-    its Gram contribution with exact-product matmuls + Kahan blocks
-    (:func:`_gram_dd_local`), the per-shard (acc, comp) pairs are combined
-    in float64 on the host, and the tiny eigendecomposition runs in host
-    float64 — near-float64 CA factors with all heavy FLOPs on device.
+    ``precision="dd"`` (default): near-float64 CA factors with all heavy
+    FLOPs on device.  When every table value is exactly f32-representable
+    (integer k-mer counts < 2^24, or an f32 table) the table is uploaded
+    ONCE in the smallest exact wire dtype (uint8/uint16/f32) and the
+    standardized residual limbs are reconstructed on device in double-double
+    arithmetic (ops/dd.py) — 2-8x less transfer than the fallback, which
+    computes the residuals on the host in float64 and ships TWO float32
+    limbs block by block.  Either way each shard accumulates its Gram
+    contribution with exact-product matmuls + Kahan blocks, the per-shard
+    (acc, comp) pairs are combined in float64 on the host, and the tiny
+    eigendecomposition runs in host float64.  :data:`LAST_DD_UPLOAD` records
+    which wire path ran.
     ``precision="fast"``: everything on device in float32 (:func:`_ca_math`).
+
+    ``col_weights``: optional per-column multipliers applied to the table
+    (the KPopTwist driver's per-spectrum normalization, src/KPopTwist:92-94)
+    — passing them separately keeps an integer table on the compact path
+    instead of forcing a float64 materialization.
     """
     nk, ns = table.shape
     d = min(nk, ns) - 1 if n_dims is None else n_dims
@@ -256,6 +451,8 @@ def ca_fit_sharded(
     n_shards = mesh.devices.size
     x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
     if precision == "fast":
+        if col_weights is not None:
+            table = np.asarray(table) * np.asarray(col_weights)[None, :]
         padded, orig = pad_to_multiple(device_canonical(table), 0, n_shards)
         xs = jax.device_put(padded, x_sharding)
         key = (
@@ -279,15 +476,24 @@ def ca_fit_sharded(
         return (_host(coords), _host(inertia), tw, _host(sv))
     if precision != "dd":
         raise ValueError(f"unknown CA precision {precision!r}")
-    # ---- host float64 standardized residuals, computed and uploaded block
-    # by block: device_put and the jitted Gram dispatch are asynchronous, so
-    # the transfers and the dd-Gram matmuls of block b overlap the host
-    # arithmetic of block b+1 (the two dominant costs of a big fit) ----
+    global LAST_DD_UPLOAD
     tm = _PhaseTimer("ca_fit_sharded")
     N = np.asarray(table)
-    total = float(N.sum(dtype=np.float64))
-    r = N.sum(axis=1, dtype=np.float64) / total
-    c = N.sum(axis=0, dtype=np.float64) / total
+    w = (
+        None
+        if col_weights is None
+        else np.asarray(col_weights, dtype=np.float64)
+    )
+    # ---- masses in host float64 (one pass; weights folded, not applied) --
+    if w is None:
+        roww = N.sum(axis=1, dtype=np.float64)
+        colw = N.sum(axis=0, dtype=np.float64)
+    else:
+        roww = N.astype(np.float64, copy=False) @ w
+        colw = N.sum(axis=0, dtype=np.float64) * w
+    total = float(roww.sum())
+    r = roww / total
+    c = colw / total
     r_safe = np.where(r > 0, r, 1.0)
     c_safe = np.where(c > 0, c, 1.0)
     inv_sr = 1.0 / np.sqrt(r_safe)
@@ -295,6 +501,77 @@ def ca_fit_sharded(
     u = r * inv_sr  # sqrt(r), 0 where r == 0
     v = c * inv_sc
     tm.mark("masses")
+    # ---- compact upload path: when the table is exactly f32-representable
+    # (integer counts, f32 tables), upload it ONCE at 1-4 bytes/entry and
+    # reconstruct the dd residual limbs on device (ops/dd.py) — vs the
+    # 8 bytes/entry of host-computed limbs.  The transfer is the measured
+    # bottleneck of a big fit, so this is a 2-8x cut of its dominant cost. --
+    compact, kind = _compact_exact_cast(N)
+    if compact is not None:
+        from ..ops.dd import split_f64
+
+        LAST_DD_UPLOAD = kind
+        beta = (w if w is not None else 1.0) / (total * np.sqrt(c_safe))
+        Xp, _ = pad_to_multiple(compact, 0, n_shards)
+        row_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS)))
+        rep_sh = NamedSharding(mesh, P(None))
+        pad_rows = Xp.shape[0] - nk
+
+        def _rowvec(a64):  # dd-split, zero-padded, uploaded
+            hi, lo = split_f64(np.pad(a64, (0, pad_rows)))
+            return (
+                jax.device_put(hi, row_sh),
+                jax.device_put(lo, row_sh),
+            )
+
+        def _colvec(a64):
+            hi, lo = split_f64(a64)
+            return (
+                jax.device_put(hi, rep_sh),
+                jax.device_put(lo, rep_sh),
+            )
+
+        Xd = jax.device_put(Xp, x_sharding)
+        ah, al = _rowvec(inv_sr * (r > 0))  # alpha == 0 on padded rows
+        uh, ul = _rowvec(u)
+        bh, bl = _colvec(beta)
+        vh, vl = _colvec(v)
+        tm.mark("compact-upload")
+        accs, comps = _gram_compact_fn_cached(mesh, kind)(
+            Xd, ah, al, uh, ul, bh, bl, vh, vl
+        )
+        G = (
+            np.asarray(_host(accs), dtype=np.float64)
+            - np.asarray(_host(comps), dtype=np.float64)
+        ).sum(axis=0)
+        tm.mark("gram")
+        sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(
+            G, d, c_safe
+        )
+        tm.mark("eigh")
+        rs = np.pad((inv_sr * (r > 0)), (0, pad_rows)).astype(np.float32)
+        phi_d = _phi_compact_fn_cached(mesh, kind)(
+            Xd, ah, al, uh, ul, bh, bl, vh, vl,
+            jax.device_put(
+                (V / sv_safe[None, :]).astype(np.float32),
+                NamedSharding(mesh, P(None, None)),
+            ),
+            jax.device_put(rs[:, None], x_sharding),
+        )
+        tw = (
+            phi_d[:nk]
+            if phi == "device"
+            else np.asarray(_host(phi_d), dtype=np.float64)[:nk].T
+        )
+        tm.mark("phi")
+        return (sample_coords, inertia, tw, sv)
+    # ---- two-limb fallback: host float64 standardized residuals, computed
+    # and uploaded block by block: device_put and the jitted Gram dispatch
+    # are asynchronous, so the transfers and the dd-Gram matmuls of block b
+    # overlap the host arithmetic of block b+1 ----
+    LAST_DD_UPLOAD = "limbs"
+    if w is not None:
+        N = N * w[None, :]
     # ~block_bytes of float32 per block, rounded to the shard count
     target = max(1, block_bytes // max(1, ns * 4))
     blkK = max(
