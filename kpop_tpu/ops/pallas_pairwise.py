@@ -27,8 +27,13 @@ from jax.experimental import pallas as pl  # noqa: E402
 # Tuned on TPU v5e (see docs/PALLAS.md): at [4096, 4096, 512] the
 # (256, 2048) tiling runs the fused tile in 0.93 ms vs 1.15 ms for the XLA
 # matmul expansion (1.23x).  Small operands drop to one right-sized tile.
+# The feature axis is blocked too (third grid dimension, partial-sum
+# accumulation into the out tile): the raw-spectrum workload has D = the
+# k-mer vocabulary (10^5-10^6), far beyond the ~16 MB of VMEM if a full
+# (tile, D) slab were resident.
 TILE_Q = 256
 TILE_T = 2048
+TILE_D = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -36,7 +41,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dist_kernel(a_ref, b_ref, m_ref, na_ref, nb_ref, out_ref):
-    # a: [TQ, D], b: [TT, D], m: [1, D], na: [TQ, 1], nb: [TT, 1]
+    # a: [TQ, TD], b: [TT, TD], m: [1, TD], na: [TQ, 1], nb: [TT, 1];
+    # grid dim 2 walks the feature axis: each step accumulates its partial
+    # |a-b|^2 expansion into the (revisited) out tile; sqrt on the last step.
+    kd = pl.program_id(2)
+
+    @pl.when(kd == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
     a = a_ref[:] / na_ref[:]
     b = b_ref[:] / nb_ref[:]
     m = m_ref[:]
@@ -47,8 +60,11 @@ def _dist_kernel(a_ref, b_ref, m_ref, na_ref, nb_ref, out_ref):
     )
     na2 = (am * a).sum(axis=1, keepdims=True)  # [TQ, 1]
     nb2 = (b * m * b).sum(axis=1, keepdims=True)  # [TT, 1]
-    d2 = na2 + nb2.T - 2.0 * cross
-    out_ref[:] = jnp.sqrt(jnp.maximum(d2, 0.0))
+    out_ref[:] += na2 + nb2.T - 2.0 * cross
+
+    @pl.when(kd == pl.num_programs(2) - 1)
+    def _finish():
+        out_ref[:] = jnp.sqrt(jnp.maximum(out_ref[:], 0.0))
 
 
 def _pad(x, axis, mult, value=0.0):
@@ -83,30 +99,31 @@ def pairwise_distances_pallas(
         na = jnp.ones((Q,), jnp.float32)
         nb = jnp.ones((T,), jnp.float32)
     # adaptive tiles: full-size for large operands, one right-sized tile for
-    # small ones (a 10-class target set must not pad to 2048 rows)
+    # small ones (a 10-class target set must not pad to 2048 rows); the
+    # feature axis blocks at TILE_D (zero-padded features contribute 0)
     tile_q = TILE_Q if Q >= TILE_Q else _round_up(Q, 8)
     tile_t = TILE_T if T > TILE_T // 2 else _round_up(T, 128)
-    # pad to tile multiples (D to the 128-lane boundary)
-    a = _pad(_pad(a, 0, tile_q), 1, 128)
-    b = _pad(_pad(b, 0, tile_t), 1, 128)
-    m2 = _pad(m[None, :], 1, 128)
+    tile_d = TILE_D if D > TILE_D else _round_up(D, 128)
+    a = _pad(_pad(a, 0, tile_q), 1, tile_d)
+    b = _pad(_pad(b, 0, tile_t), 1, tile_d)
+    m2 = _pad(m[None, :], 1, tile_d)
     na = _pad(na[:, None], 0, tile_q, value=1.0)
     nb = _pad(nb[:, None], 0, tile_t, value=1.0)
     Qp, Dp = a.shape
     Tp, _ = b.shape
-    grid = (Qp // tile_q, Tp // tile_t)
+    grid = (Qp // tile_q, Tp // tile_t, Dp // tile_d)
     out = pl.pallas_call(
         _dist_kernel,
         out_shape=jax.ShapeDtypeStruct((Qp, Tp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_q, Dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile_t, Dp), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, Dp), lambda i, j: (0, 0)),
-            pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile_t, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_q, tile_d), lambda i, j, kd: (i, kd)),
+            pl.BlockSpec((tile_t, tile_d), lambda i, j, kd: (j, kd)),
+            pl.BlockSpec((1, tile_d), lambda i, j, kd: (0, kd)),
+            pl.BlockSpec((tile_q, 1), lambda i, j, kd: (i, 0)),
+            pl.BlockSpec((tile_t, 1), lambda i, j, kd: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_q, tile_t), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((tile_q, tile_t), lambda i, j, kd: (i, j)),
         interpret=interpret,
     )(a, b, m2, na, nb)
     return out[:Q, :T]

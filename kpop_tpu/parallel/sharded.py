@@ -210,11 +210,24 @@ def _gram_dd_from_compact_local(
 _CA_FN_CACHE: dict = {}
 
 
+def _mesh_key(mesh: Mesh) -> tuple:
+    """Stable cache key for a mesh: axis layout + the devices' own stable
+    identifiers (``id()`` values can be reused after GC, which could alias a
+    rebuilt mesh onto a stale jitted function)."""
+    return (
+        tuple(mesh.shape.items()),
+        tuple(
+            (d.id, getattr(d, "process_index", 0), d.platform)
+            for d in mesh.devices.flat
+        ),
+    )
+
+
 def _gram_fn_cached(mesh: Mesh):
     """The jitted per-shard dd-Gram, cached per mesh: a fresh
     ``jax.jit(shard_map(...))`` every call would miss the jit cache and
     recompile (~13 s per CA fit over the remote-compile tunnel)."""
-    key = ("gram", tuple(mesh.shape.items()), tuple(map(id, mesh.devices.flat)))
+    key = ("gram", _mesh_key(mesh))
     if key not in _CA_FN_CACHE:
 
         def local_gram(hi, lo):
@@ -234,12 +247,7 @@ def _gram_fn_cached(mesh: Mesh):
 
 def _gram_compact_fn_cached(mesh: Mesh, kind: str):
     """Jitted per-shard compact-table dd-Gram, cached per (mesh, dtype)."""
-    key = (
-        "gramc",
-        kind,
-        tuple(mesh.shape.items()),
-        tuple(map(id, mesh.devices.flat)),
-    )
+    key = ("gramc", kind, _mesh_key(mesh))
     if key not in _CA_FN_CACHE:
 
         def local(x, ah, al, uh, ul, bh, bl, vh, vl):
@@ -267,12 +275,7 @@ def _gram_compact_fn_cached(mesh: Mesh, kind: str):
 def _phi_compact_fn_cached(mesh: Mesh, kind: str):
     """Jitted phi matmul with the f32 residual limb reconstructed on device
     from the compact table (no second upload of S)."""
-    key = (
-        "phic",
-        kind,
-        tuple(mesh.shape.items()),
-        tuple(map(id, mesh.devices.flat)),
-    )
+    key = ("phic", kind, _mesh_key(mesh))
     if key not in _CA_FN_CACHE:
         from ..ops.dd import residual_dd
 
@@ -311,12 +314,16 @@ def _compact_exact_cast(table: np.ndarray):
     representable in float32 — ``kind`` in {"u8", "u16", "f32"} picks the
     smallest wire dtype — else ``(None, None)``.  One blocked pass."""
     if table.dtype == np.float32:
+        # the compact residual path masks alpha to rows with r > 0, which is
+        # only equivalent to the fallback's divide-by-r_safe when entries
+        # cannot cancel — require nonnegativity (counts are nonnegative by
+        # construction; signed tables take the exact two-limb fallback)
+        if table.size and not (table >= 0).all():
+            return None, None
         kind_arr = table
         is_int, mx, mn = False, None, None
         # still probe integrality/range for a smaller wire dtype
-        is_int = bool(
-            (table >= 0).all() and (table == np.floor(table)).all()
-        )
+        is_int = bool((table == np.floor(table)).all())
         if is_int and table.size:
             mx = float(table.max())
     elif np.issubdtype(table.dtype, np.integer):
@@ -332,9 +339,9 @@ def _compact_exact_cast(table: np.ndarray):
             blk = table[i : i + step]
             if not np.array_equal(blk, blk.astype(np.float32)):
                 return None, None
-            if is_int and not (
-                (blk >= 0).all() and (blk == np.floor(blk)).all()
-            ):
+            if blk.size and not (blk >= 0).all():  # see float32 case above
+                return None, None
+            if is_int and not (blk == np.floor(blk)).all():
                 is_int = False
             m = float(blk.max()) if blk.size else 0.0
             mx = m if m > mx else mx
@@ -350,7 +357,7 @@ def _compact_exact_cast(table: np.ndarray):
 
 def _phi_fn_cached(mesh: Mesh):
     """Jitted phi matmul, cached per mesh (same recompile trap as the Gram)."""
-    key = ("phi", tuple(mesh.shape.items()), tuple(map(id, mesh.devices.flat)))
+    key = ("phi", _mesh_key(mesh))
     if key not in _CA_FN_CACHE:
         x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
         _CA_FN_CACHE[key] = jax.jit(
@@ -369,12 +376,7 @@ def _phi_fn_cached(mesh: Mesh):
 def _concat_fn_cached(mesh: Mesh, n_blocks: int):
     """Jitted row-wise concat of the per-block phi results, cached per
     (mesh, block count) so the device twister stays sharded end to end."""
-    key = (
-        "concat",
-        n_blocks,
-        tuple(mesh.shape.items()),
-        tuple(map(id, mesh.devices.flat)),
-    )
+    key = ("concat", n_blocks, _mesh_key(mesh))
     if key not in _CA_FN_CACHE:
         if n_blocks == 1:
             _CA_FN_CACHE[key] = lambda x: x
@@ -455,12 +457,7 @@ def ca_fit_sharded(
             table = np.asarray(table) * np.asarray(col_weights)[None, :]
         padded, orig = pad_to_multiple(device_canonical(table), 0, n_shards)
         xs = jax.device_put(padded, x_sharding)
-        key = (
-            "fast",
-            d,
-            tuple(mesh.shape.items()),
-            tuple(map(id, mesh.devices.flat)),
-        )
+        key = ("fast", d, _mesh_key(mesh))
         if key not in _CA_FN_CACHE:
             _CA_FN_CACHE[key] = jax.jit(
                 lambda t: _ca_math(t, d),
@@ -609,18 +606,7 @@ def ca_fit_sharded(
         ).sum(axis=0)
     tm.mark("gram")
     # ---- tiny factorization in host float64 (matches core.ca.fit_ca) ----
-    evals, evecs = np.linalg.eigh(G)
-    order = np.argsort(evals)[::-1]
-    evals, evecs = evals[order][:d], evecs[:, order][:, :d]
-    evals = np.maximum(evals, 0.0)
-    sv = np.sqrt(evals)
-    signs = np.sign(evecs[np.argmax(np.abs(evecs), axis=0), np.arange(d)])
-    signs = np.where(signs == 0, 1.0, signs)
-    V = evecs * signs[None, :]
-    sample_coords = V * sv[None, :] / np.sqrt(c_safe)[:, None]
-    sv_safe = np.where(sv > 0, sv, 1.0)
-    total_in = evals.sum()
-    inertia = evals / total_in if total_in > 0 else evals
+    sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(G, d, c_safe)
     tm.mark("eigh")
     # ---- phi = D_r^-1/2 S V Sigma^-1: the big matmul, on device f32,
     # per hi block (kept device-resident above, so no re-upload) ----
