@@ -181,7 +181,10 @@ def main(argv=None) -> int:
     )
     space = KmerSpace(state["content"], k)
 
-    use_device = state["distance"].kind == "euclidean"
+    # euclidean and cosine share the device matmul expansion (the reference
+    # treats the distance family uniformly, lib/Space.ml:150-205); bounded
+    # minkowski stays on the exact host path
+    use_device = state["distance"].kind in ("euclidean", "cosine")
     if use_device:
         from ..config import jax_setup
 

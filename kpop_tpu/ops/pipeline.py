@@ -58,6 +58,10 @@ class ClassifierParams:
     vocab_lo: "jnp.ndarray | None" = None  # [V] int32
     cuckoo: "jnp.ndarray | None" = None  # [6, S] int32 (ops/cuckoo.py)
     cuckoo_seeds: tuple = ()  # static hash seeds
+    # distance family for distances_to_classes: "euclidean" or "cosine"
+    # (cosine = euclidean^2 / 2 with /2-scaled norms, lib/Space.ml:150-205;
+    # class_norms must be built with the same Distance)
+    distance_kind: str = "euclidean"
 
     @property
     def n_vocab(self) -> int:
@@ -123,6 +127,11 @@ def build_classifier_params(
     # dtype applies to the twister only (the one large tensor: bf16 halves
     # its HBM footprint and feeds the MXU natively); metric/class tensors
     # are tiny and stay f32, and all accumulations are f32
+    if distance.kind not in ("euclidean", "cosine"):
+        raise ValueError(
+            f"device classification supports euclidean/cosine, "
+            f"not {distance.kind!r}"
+        )
     return ClassifierParams(
         twister=jnp.asarray(tw_rows, dtype=dtype),
         metric=jnp.asarray(mvec, dtype=jnp.float32),
@@ -131,6 +140,7 @@ def build_classifier_params(
         k=space.k,
         canonical=space.canonical,
         base=space.base,
+        distance_kind=distance.kind,
         **vocab,
     )
 
@@ -239,11 +249,15 @@ def project(params: ClassifierParams, spectra: "jnp.ndarray", normalize=True):
 def distances_to_classes(
     params: ClassifierParams, twisted: "jnp.ndarray", normalize=True
 ):
-    """Metric-weighted euclidean distances ``[B, C]`` via the matmul
-    expansion |a-b|^2 = |a|^2 + |b|^2 - 2ab (runs on the MXU)."""
+    """Metric-weighted euclidean or cosine distances ``[B, C]`` via the
+    matmul expansion |a-b|^2 = |a|^2 + |b|^2 - 2ab (runs on the MXU);
+    cosine is the expansion / 2 with /2-scaled norms (lib/Space.ml:150-205,
+    treated uniformly with euclidean like the reference)."""
     a = twisted
+    cosine = params.distance_kind == "cosine"
     if normalize:
-        na = jnp.sqrt((a * a * params.metric[None, :]).sum(axis=1))
+        na = (a * a * params.metric[None, :]).sum(axis=1)
+        na = na / 2.0 if cosine else jnp.sqrt(na)
         na = jnp.where(na == 0.0, 1.0, na)
         a = a / na[:, None]
         b = params.class_coords / params.class_norms[:, None]
@@ -254,7 +268,7 @@ def distances_to_classes(
     na2 = (am * a).sum(axis=1)
     nb2 = (b * b * params.metric[None, :]).sum(axis=1)
     d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * cross, 0.0)
-    return jnp.sqrt(d2)
+    return d2 / 2.0 if cosine else jnp.sqrt(d2)
 
 
 def summarize_batch(dmat: "jnp.ndarray", req_len: int = 2):
@@ -336,5 +350,5 @@ jax.tree_util.register_dataclass(
         "vocab_lo",
         "cuckoo",
     ),
-    meta_fields=("k", "canonical", "base", "cuckoo_seeds"),
+    meta_fields=("k", "canonical", "base", "cuckoo_seeds", "distance_kind"),
 )

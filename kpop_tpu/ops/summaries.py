@@ -26,6 +26,8 @@ from ..core.matrix import NamedMatrix  # noqa: E402
 from ..core.space import Distance, summarize_distance_row  # noqa: E402
 
 TOPK_SLACK = 14
+#: f32 elements budgeted for the blocked minkowski |b - a| broadcast
+MINK_BUDGET_ELEMS = 32 << 20  # 128 MB
 
 
 def _use_interpret() -> bool:
@@ -48,8 +50,25 @@ def _distance_block(a, b, m, kind, power, use_pallas):
         nb2 = (b * b * m[None, :]).sum(axis=1)
         acc = jnp.maximum(nb2[:, None] + na2[None, :] - 2.0 * cross, 0.0)
         return jnp.sqrt(acc) if kind == "euclidean" else acc / 2.0
-    diff = jnp.abs(b[:, None, :] - a[None, :, :])
-    return ((diff**power) * m[None, None, :]).sum(axis=2) ** (1.0 / power)
+    # minkowski has no matmul expansion; the [B, chunk, D] broadcast is
+    # blocked over the target axis to bound HBM at ~MINK_BUDGET_ELEMS f32
+    # temporaries (the host path blocks the same way, core/space.py) —
+    # at the relatedness shape [1024 x 4096 x 512] this is ~128 MB instead
+    # of the ~8.6 GB of the unblocked broadcast
+    B, D = b.shape
+    N = a.shape[0]
+    chunk = int(max(1, min(N, MINK_BUDGET_ELEMS // max(1, B * D))))
+    pad = (-N) % chunk
+    a_p = jnp.pad(a, ((0, pad), (0, 0)))
+    a_r = a_p.reshape(-1, chunk, D)
+
+    def one(ablk):
+        diff = jnp.abs(b[:, None, :] - ablk[None, :, :])
+        return ((diff**power) * m[None, None, :]).sum(axis=2)
+
+    acc = jax.lax.map(one, a_r)  # [n_chunks, B, chunk]
+    acc = jnp.moveaxis(acc, 0, 1).reshape(B, -1)[:, :N]
+    return acc ** (1.0 / power)
 
 
 @partial(

@@ -429,3 +429,65 @@ def test_classify_dtype_bf16_cli(tmp_path):
         # bf16 distances agree to bf16 resolution
         for a, b in zip(pb[1:5], pf[1:5]):
             assert abs(float(a) - float(b)) < 2e-2 * max(1.0, abs(float(b)))
+
+
+def test_classify_cosine_device_matches_host_chain(tmp_path):
+    """--distance cosine now runs the fused device path (the reference
+    treats the distance family uniformly, lib/Space.ml:150-205); output
+    must match the host float64 chain with --distance cosine."""
+    import io as _io
+
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+
+    rng = np.random.default_rng(23)
+    k = 6
+    space = KmerSpace("DNA-ds", k)
+    bases = np.array(list("ACGT"))
+    fams = [rng.integers(0, 4, size=500) for _ in range(4)]
+
+    def mut(g, n):
+        g = g.copy()
+        pos = rng.choice(len(g), size=n, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 4, size=n)) % 4
+        return g
+
+    db = CounterDB()
+    for fi, fam in enumerate(fams):
+        seqs = ["".join(bases[mut(fam, 12)]) for _ in range(3)]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(_io.StringIO(
+            "\tF%d\n" % fi + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(c)), v)
+                for c, v in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    tests_fa = "\n".join(
+        ">T%d-F%d\n%s" % (i, i % 4, "".join(bases[mut(fams[i % 4], 12)]))
+        for i in range(8)
+    )
+    (tmp_path / "test.fasta").write_text(tests_fa + "\n")
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    sh(
+        "kpop-count -k %d -L -f test.fasta -o /dev/stdout | "
+        "kpop-twistdb -i T TW -k /dev/stdin -o t Q && "
+        "kpop-twistdb -i T TW -i t TW --distance cosine -s Q HostSum" % k,
+        tmp_path,
+    )
+    sh(
+        "kpop-classify -T TW -t TW --distance cosine -f test.fasta -o DevSum",
+        tmp_path,
+    )
+    host = sorted((tmp_path / "HostSum.KPopSummary.txt").read_text().splitlines())
+    dev = sorted((tmp_path / "DevSum.KPopSummary.txt").read_text().splitlines())
+    assert len(host) == len(dev) == 8
+    for lh, ld in zip(host, dev):
+        ph, pd = lh.split("\t"), ld.split("\t")
+        assert ph[0] == pd[0]
+        assert ph[5::3] == pd[5::3], f"targets mismatch {ph[0]}"
+        for a, b in zip(pd[1:], ph[1:]):
+            try:
+                fa, fb = float(a), float(b)
+            except ValueError:
+                continue
+            assert abs(fa - fb) < 5e-4 * max(1.0, abs(fb)), (ld, lh)

@@ -214,3 +214,30 @@ def test_twistdb_distances_backend_pallas_cli(tmp_path):
         np.asarray(pal.matrix.data), np.asarray(host.matrix.data),
         rtol=2e-5, atol=2e-6,
     )
+
+
+def test_minkowski_blocked_broadcast_matches(monkeypatch):
+    """The minkowski device digest blocks its [B, chunk, D] broadcast over
+    targets; forcing a tiny element budget (multiple chunks incl. a ragged
+    tail) must not change any output line."""
+    import kpop_tpu.ops.summaries as summaries_mod
+
+    rng = np.random.default_rng(3)
+    targets, queries, metric = make_case(rng, N=23, B=9, D=7)
+    dist = Distance.of_string("minkowski(3)")
+
+    def run():
+        buf = io.StringIO()
+        summarize_rowwise_device(
+            dist, metric, targets, queries, keep_at_most=3, normalize=True,
+            out=buf, batch=16,
+        )
+        return buf.getvalue()
+
+    full = run()
+    # 9 queries x 7 dims -> chunk = 256//63 = 4 targets/chunk (6 chunks)
+    monkeypatch.setattr(summaries_mod, "MINK_BUDGET_ELEMS", 256)
+    summaries_mod._digest_batch.clear_cache()
+    blocked = run()
+    summaries_mod._digest_batch.clear_cache()
+    assert blocked == full
