@@ -97,6 +97,7 @@ def main(argv=None) -> int:
         "verbose": False,
         "profile": "",
         "dtype": "f32",
+        "kmer_parallel": 0,
     }
     p = Parser(
         "KPopClassify",
@@ -158,6 +159,13 @@ def main(argv=None) -> int:
            "footprint/traffic of the one large tensor; all accumulations",
            "stay f32; kpop-tpu extension)"],
           set_dtype, "f32")
+    p.opt(["--kmer-parallel"], "<non_negative_integer>",
+          ["shard the twister rows over this many devices (model",
+           "parallelism over the k-mer axis; must divide the device count;",
+           "0 = automatic: shard only when the replicated twister would",
+           "exceed the per-device parameter budget, KPOP_PARAMS_HBM_BYTES",
+           "env var, default 8 GiB; kpop-tpu extension)"],
+          lambda a: state.update(kmer_parallel=a.get_int_non_neg()), "0")
     p.opt(["--profile"], "<trace_directory>",
           ["write a JAX/XLA profiler trace of the run (view with",
            "tensorboard or xprof; kpop-tpu extension)"],
@@ -209,23 +217,62 @@ def main(argv=None) -> int:
         )
 
         @jax.jit
-        def _dmat_device(p, base_codes):
+        def _dmat_replicated(p, base_codes):
             spectra = count_spectra(p, base_codes)
             twisted = project(p, spectra)
             return distances_to_classes(p, twisted)
 
-        # multi-chip: shard the sequence batch over a pure data-parallel
-        # mesh, replicate the parameters — the same jitted program scales
-        # from 1 chip to a slice (reference P2/P3 scatter, SURVEY §2.5)
+        _dmat_device = _dmat_replicated
+        # multi-chip layout (reference P2/P3 scatter, SURVEY §2.5):
+        # - data-parallel when the twister fits per-device HBM: shard the
+        #   sequence batch, replicate the parameters;
+        # - kmer-sharded (model parallel) when it does not — the flagship
+        #   covid/TB vocabularies put the twister at tens of GB
+        #   (README.md:1023-1054), so its rows are partitioned over the
+        #   mesh's "kmer" axis and projections psum (parallel/serving.py).
         n_dev = jax.device_count()
+        pad_multiple = 1
         if n_dev > 1:
+            import os as _os
+
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import DATA_AXIS, make_mesh
+            from ..parallel.serving import (
+                choose_kmer_parallel,
+                shard_classifier_params,
+                sharded_dmat_fn,
+            )
 
-            mesh = make_mesh(data_parallel=n_dev)
+            kmer_par = state["kmer_parallel"]
+            if kmer_par:
+                if n_dev % kmer_par:
+                    raise ParseError(
+                        f"--kmer-parallel {kmer_par} does not divide the "
+                        f"device count {n_dev}"
+                    )
+            else:
+                budget = int(
+                    _os.environ.get("KPOP_PARAMS_HBM_BYTES", 8 << 30)
+                )
+                kmer_par = choose_kmer_parallel(
+                    params.twister.size * params.twister.dtype.itemsize,
+                    n_dev, budget,
+                )
+            if kmer_par > 1:
+                mesh = make_mesh(n_dev, data_parallel=n_dev // kmer_par)
+                params, v_global = shard_classifier_params(params, mesh)
+                _dmat_device = sharded_dmat_fn(mesh, v_global)
+            else:
+                mesh = make_mesh(data_parallel=n_dev)
+                params = jax.device_put(params, NamedSharding(mesh, P()))
+            if state["verbose"]:
+                sys.stderr.write(
+                    f"(KPopClassify): mesh {dict(mesh.shape)} "
+                    f"(kmer-parallel {kmer_par})\n"
+                )
+            pad_multiple = mesh.shape[DATA_AXIS]
             code_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-            params = jax.device_put(params, NamedSharding(mesh, P()))
 
         def dmat_of_seqs(seqs):
             codes = encode_reads_host(seqs) if space.base == 4 else None
@@ -238,8 +285,8 @@ def main(argv=None) -> int:
                 for i, e in enumerate(enc):
                     codes[i, : len(e)] = e
             n = codes.shape[0]
-            if n_dev > 1:
-                pad = (-n) % n_dev
+            if pad_multiple > 1:
+                pad = (-n) % pad_multiple
                 if pad:
                     codes = np.concatenate(
                         [codes, np.full((pad, codes.shape[1]), -1, np.int8)]

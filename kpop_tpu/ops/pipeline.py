@@ -145,11 +145,18 @@ def build_classifier_params(
     )
 
 
-def vocab_lookup(params: ClassifierParams, base_codes: "jnp.ndarray"):
+def vocab_lookup(
+    params: ClassifierParams, base_codes: "jnp.ndarray", n_vocab: int | None = None
+):
     """``[B, L]`` base codes -> (vocab index ``[B, W]`` in [0..V], with V =
     miss/invalid).  Dispatches (at trace time) between the dense-LUT gather
-    (small k) and the two-limb sorted-vocabulary binary search (large k)."""
-    V = params.n_vocab
+    (small k) and the two-limb sorted-vocabulary binary search (large k).
+
+    ``n_vocab`` overrides the vocabulary size; it is required when the
+    twister rows are sharded over a mesh axis (parallel/serving.py): inside
+    ``shard_map`` ``params.twister.shape[0]`` is the *local* shard size but
+    the lookup tables are replicated and produce *global* indices."""
+    V = params.n_vocab if n_vocab is None else n_vocab
     if params.vocab_lut is not None:
         codes, ok = window_codes_batch(
             base_codes, params.k, params.canonical, params.base

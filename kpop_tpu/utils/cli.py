@@ -60,6 +60,14 @@ class Args:
             )
         return v
 
+    def get_int_non_neg(self) -> int:
+        v = int(self._next())
+        if v < 0:
+            raise ParseError(
+                f"Option '{self.current_opt}': parameter must be non-negative"
+            )
+        return v
+
     def get_float_non_neg(self) -> float:
         v = float(self._next())
         if v < 0.0:
