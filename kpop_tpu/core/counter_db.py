@@ -512,88 +512,259 @@ class CounterDB:
     # ---------------- export ----------------
 
     def _export_rows_cols(self, filter: TableFilter, stats: StatsTable):
-        rows = [
-            (n, i)
-            for i, n in enumerate(self.row_names)
-            if stats.row_sum[i] > 0.0 or filter.print_zero_rows
-        ]
-        cols = [
-            (n, i)
-            for i, n in enumerate(self.col_names)
-            if n not in filter.filter_columns
-        ]
+        """Tuple-list form of the kept rows/cols (public transformed* API)."""
+        ri, ci = self._export_row_col_idx(filter, stats)
+        rows = [(self.row_names[i], int(i)) for i in ri]
+        cols = [(self.col_names[i], int(i)) for i in ci]
         return rows, cols
 
+    def _export_row_col_idx(self, filter: TableFilter, stats: StatsTable):
+        """Kept row/col indices as int64 arrays — the streaming writers use
+        these directly; (name, idx) tuple lists at multi-million-row scale
+        cost ~100 B/row of pure overhead."""
+        ri = (
+            np.arange(self.n_rows, dtype=np.int64)
+            if filter.print_zero_rows
+            else np.nonzero(stats.row_sum > 0.0)[0].astype(np.int64)
+        )
+        if filter.filter_columns:
+            ci = np.array(
+                [
+                    i
+                    for i, n in enumerate(self.col_names)
+                    if n not in filter.filter_columns
+                ],
+                dtype=np.int64,
+            )
+        else:
+            ci = np.arange(self.n_cols, dtype=np.int64)
+        return ri, ci
+
+    def _col_subset_stats(
+        self, stats: StatsTable, ci: np.ndarray
+    ) -> StatsTable:
+        """Column-subset view of the stats (apply_transform only reads the
+        column arrays; the row arrays ride along unchanged)."""
+        return StatsTable(
+            stats.col_non_zero[ci], stats.col_min[ci], stats.col_max[ci],
+            stats.col_sum[ci], stats.col_sum_log[ci],
+            stats.row_non_zero, stats.row_min, stats.row_max,
+            stats.row_sum, stats.row_sum_log,
+        )
+
+    def _transform_stats(self, filter: TableFilter):
+        """(stats, ri, ci, column-subset stats for apply_transform)."""
+        stats = stats_table(self.counts, filter.transform)
+        ri, ci = self._export_row_col_idx(filter, stats)
+        return stats, ri, ci, self._col_subset_stats(stats, ci)
+
+    def transformed_blocks(
+        self, filter: TableFilter, block_bytes: int | None = None
+    ):
+        """Stream the transformed export row-blocked: yields
+        ``(ri_chunk, ci, block)`` with ``block`` of shape
+        ``[len(ri_chunk), len(ci)]`` (index arrays into row/col_names).
+        Peak extra memory is O(block x n_cols) — the reference streams this
+        chunk-parallel (lib/KMerDB.ml:1004-1171); materializing the full
+        transformed float64 matrix caps DB size far below the reference's
+        2 GB counters (README.md:1029).
+        """
+        from .transforms import export_block_rows
+
+        _stats, ri, ci, stats_sub = self._transform_stats(filter)
+        R = export_block_rows(max(1, len(ci)), block_bytes)
+        for r0 in range(0, len(ri), R):
+            ridx = ri[r0 : r0 + R]
+            blk = (
+                apply_transform(
+                    self.counts[ridx][:, ci], filter.transform, stats_sub
+                )
+                if len(ridx) and len(ci)
+                else np.zeros((len(ridx), len(ci)))
+            )
+            yield ridx, ci, blk
+
     def transformed(
-        self, filter: TableFilter
+        self, filter: TableFilter, block_bytes: int | None = None
     ) -> Tuple[List[Tuple[str, int]], List[Tuple[str, int]], np.ndarray]:
-        """(rows, cols, transformed submatrix [len(rows), len(cols)])."""
+        """(rows, cols, transformed submatrix [len(rows), len(cols)]).
+
+        Fills the output row-block by row-block (transformed_blocks), so
+        peak memory is the output itself plus one block — not a full
+        transformed copy of the untrimmed table plus a fancy-indexed copy.
+        """
         stats = stats_table(self.counts, filter.transform)
         rows, cols = self._export_rows_cols(filter, stats)
-        full = apply_transform(self.counts, filter.transform, stats)
-        ri = np.array([i for _, i in rows], dtype=np.int64)
-        ci = np.array([i for _, i in cols], dtype=np.int64)
-        sub = full[np.ix_(ri, ci)] if len(rows) and len(cols) else np.zeros(
-            (len(rows), len(cols))
-        )
+        sub = np.empty((len(rows), len(cols)))
+        off = 0
+        for ridx, _, blk in self.transformed_blocks(filter, block_bytes):
+            sub[off : off + len(ridx)] = blk
+            off += len(ridx)
         return rows, cols, sub
 
-    def to_table(self, prefix: str, filter: TableFilter | None = None) -> None:
+    def transformed_counts(
+        self, filter: TableFilter
+    ) -> Tuple[List[Tuple[str, int]], List[Tuple[str, int]], np.ndarray]:
+        """Like :meth:`transformed`, but when the transform is the identity
+        on non-negative integer counts (``power`` with threshold=1 power=1 —
+        the KPopTwist driver default) the submatrix comes back as the raw
+        int32 counts subset with NO float64 materialization: half the peak
+        memory, and the sharded CA's compact wire (parallel/sharded.py)
+        casts int32 straight to its u8/u16 upload dtype."""
+        tr = filter.transform
+        if (
+            tr.normalized_which == "power"
+            and tr.power == 1.0
+            and tr.threshold == 1.0
+        ):
+            stats = stats_table(self.counts, tr)
+            rows, cols = self._export_rows_cols(filter, stats)
+            ri = np.array([i for _, i in rows], dtype=np.int64)
+            ci = np.array([i for _, i in cols], dtype=np.int64)
+            sub = (
+                self.counts[np.ix_(ri, ci)]
+                if len(rows) and len(cols)
+                else np.zeros((len(rows), len(cols)), dtype=np.int32)
+            )
+            return rows, cols, sub
+        return self.transformed(filter)
+
+    def _transformed_col_block(
+        self,
+        filter: TableFilter,
+        ri: np.ndarray,
+        ci_chunk: np.ndarray,
+        stats: StatsTable,
+    ) -> np.ndarray:
+        """Transformed [len(ri), len(ci_chunk)] slab for a chunk of columns
+        (the transposed-table / spectra writers stream over output lines =
+        original columns)."""
+        if not len(ri) or not len(ci_chunk):
+            return np.zeros((len(ri), len(ci_chunk)))
+        return apply_transform(
+            self.counts[ri][:, ci_chunk],
+            filter.transform,
+            self._col_subset_stats(stats, ci_chunk),
+        )
+
+    def _col_block_size(self, n_rows_out: int, block_bytes: int | None) -> int:
+        if block_bytes is None:
+            import os as _os
+
+            block_bytes = int(
+                _os.environ.get("KPOP_EXPORT_BLOCK_BYTES", 256 << 20)
+            )
+        return max(1, block_bytes // max(1, n_rows_out * 8 * 4))
+
+    def to_table(
+        self,
+        prefix: str,
+        filter: TableFilter | None = None,
+        block_bytes: int | None = None,
+    ) -> None:
         """Write the DB as a (possibly transposed/filtered/transformed) TSV
-        (lib/KMerDB.ml:1004-1171).  Names are unquoted in this format."""
+        (lib/KMerDB.ml:1004-1171).  Names are unquoted in this format.
+        Streams blocked over output lines (k-mer rows, or original columns
+        when transposed) like the reference's chunk-parallel writer."""
         filter = filter or TableFilter()
         path = with_ext(prefix, COUNTER_TABLE_EXT)
-        rows, cols, sub = self.transformed(filter)
         meta_rows = (
             [(n, i) for i, n in enumerate(self.meta_names)]
             if filter.print_metadata
             else []
         )
         fmt = "%.{}g".format(filter.precision)
+        stats, ri, ci, stats_sub = self._transform_stats(filter)
+        row_names, col_names = self.row_names, self.col_names
         f = open_out(path)
         try:
-            if len(meta_rows) + len(rows) == 0:
+            if len(meta_rows) + len(ri) == 0:
                 return
             if filter.transpose:
                 if filter.print_col_names:
-                    names = [n for n, _ in meta_rows] + [n for n, _ in rows]
+                    names = [n for n, _ in meta_rows] + [
+                        row_names[i] for i in ri
+                    ]
                     lead = "\t" if filter.print_row_names else ""
                     f.write(lead + "\t".join(names) + "\n")
-                for j, (col_name, col_idx) in enumerate(cols):
-                    parts = []
-                    if filter.print_row_names:
-                        parts.append(col_name)
-                    parts += [self.meta[col_idx][mi] for _, mi in meta_rows]
-                    parts += [fmt % v for v in sub[:, j]]
-                    f.write("\t".join(parts) + "\n")
+                C = self._col_block_size(max(1, len(ri)), block_bytes)
+                for c0 in range(0, len(ci), C):
+                    ci_chunk = ci[c0 : c0 + C]
+                    slab = self._transformed_col_block(
+                        filter, ri, ci_chunk, stats
+                    )
+                    for j, col_idx in enumerate(ci_chunk):
+                        parts = []
+                        if filter.print_row_names:
+                            parts.append(col_names[col_idx])
+                        parts += [
+                            self.meta[col_idx][mi] for _, mi in meta_rows
+                        ]
+                        parts += [fmt % v for v in slab[:, j]]
+                        f.write("\t".join(parts) + "\n")
             else:
+                from .transforms import export_block_rows
+
                 if filter.print_col_names:
                     lead = "\t" if filter.print_row_names else ""
-                    f.write(lead + "\t".join(n for n, _ in cols) + "\n")
+                    f.write(
+                        lead + "\t".join(col_names[i] for i in ci) + "\n"
+                    )
                 for meta_name, mi in meta_rows:
                     parts = [meta_name] if filter.print_row_names else []
-                    parts += [self.meta[ci][mi] for _, ci in cols]
+                    parts += [self.meta[c][mi] for c in ci]
                     f.write("\t".join(parts) + "\n")
-                for i, (row_name, _) in enumerate(rows):
-                    parts = [row_name] if filter.print_row_names else []
-                    parts += [fmt % v for v in sub[i, :]]
-                    f.write("\t".join(parts) + "\n")
+                R = export_block_rows(max(1, len(ci)), block_bytes)
+                for r0 in range(0, len(ri), R):
+                    ridx = ri[r0 : r0 + R]
+                    blk = (
+                        apply_transform(
+                            self.counts[ridx][:, ci],
+                            filter.transform,
+                            stats_sub,
+                        )
+                        if len(ridx) and len(ci)
+                        else np.zeros((len(ridx), len(ci)))
+                    )
+                    for i, row_i in enumerate(ridx):
+                        parts = (
+                            [row_names[row_i]]
+                            if filter.print_row_names
+                            else []
+                        )
+                        parts += [fmt % v for v in blk[i, :]]
+                        f.write("\t".join(parts) + "\n")
         finally:
             close_if_owned(f, path)
 
-    def to_spectra(self, prefix: str, filter: TableFilter | None = None) -> None:
-        """Write as text spectra, dropping zero entries (lib/KMerDB.ml:1172-1239)."""
+    def to_spectra(
+        self,
+        prefix: str,
+        filter: TableFilter | None = None,
+        block_bytes: int | None = None,
+    ) -> None:
+        """Write as text spectra, dropping zero entries (lib/KMerDB.ml:1172-1239).
+        Streams blocked over spectra (original columns)."""
         filter = filter or TableFilter()
         path = spectra_io.spectra_filename(prefix)
-        rows, cols, sub = self.transformed(filter)
+        stats, ri, ci, _ = self._transform_stats(filter)
         fmt = "%.{}g".format(filter.precision)
+        row_names, col_names = self.row_names, self.col_names
         f = open_out(path)
         try:
-            for j, (col_name, _) in enumerate(cols):
-                f.write("\t%s\n" % col_name)
-                vals = sub[:, j]
-                for i in np.nonzero(vals > 0)[0]:
-                    f.write("%s\t%s\n" % (rows[i][0], fmt % vals[i]))
+            C = self._col_block_size(max(1, len(ri)), block_bytes)
+            for c0 in range(0, len(ci), C):
+                ci_chunk = ci[c0 : c0 + C]
+                slab = self._transformed_col_block(
+                    filter, ri, ci_chunk, stats
+                )
+                for j, col_idx in enumerate(ci_chunk):
+                    f.write("\t%s\n" % col_names[col_idx])
+                    vals = slab[:, j]
+                    for i in np.nonzero(vals > 0)[0]:
+                        f.write(
+                            "%s\t%s\n" % (row_names[ri[i]], fmt % vals[i])
+                        )
         finally:
             close_if_owned(f, path)
 
@@ -614,7 +785,9 @@ class CounterDB:
 
     # ---------------- distillation ----------------
 
-    def distill_kmers(self, classes_label: str) -> NamedMatrix:
+    def distill_kmers(
+        self, classes_label: str, block_bytes: int | None = None
+    ) -> NamedMatrix:
         """Per-k-mer discriminative-power analysis (lib/KMerDB.ml:816-976).
 
         For every k-mer, |normalized count differences| over all sample pairs
@@ -622,62 +795,91 @@ class CounterDB:
         sample CoV); their across-class-pairs means/medians, plus residuals
         of the off-class vs on-class linear fits, form the 18-column
         ``KPopDistill`` matrix (rows = k-mers after transposition).
+
+        Streams in k-mer row blocks like the reference's chunk-parallel
+        pipeline (lib/KMerDB.ml:850-897): peak extra memory is
+        O(block_rows x n_pairs), never the full [n_kmers, n_pairs]
+        |difference| matrix — at the reference's own flagship scale
+        (16.7M k-mers, 1,000 samples => 499,500 pairs) the dense form
+        would be ~10^4 GB.  The pair axis is pre-sorted by class-pair
+        bucket so each block reduces with one ``np.add.reduceat``; the
+        variance uses the same two-pass form as ``np.var(ddof=1)``.
+        ``block_bytes`` (default 256 MB, env ``KPOP_DISTILL_BLOCK_BYTES``)
+        bounds the per-block temporaries.
         """
         n_classes, _, ind = self.indicator_vector(classes_label)
         n_samples = self.n_cols
         if n_classes == 1 or n_classes == n_samples:
             raise InvalidNumberOfClasses(n_classes)
-        col_sums = self.counts.astype(np.float64).sum(axis=0)
+        col_sums = self.counts.sum(axis=0, dtype=np.int64).astype(np.float64)
         col_sums = np.where(col_sums == 0.0, 1.0, col_sums)
-        x = self.counts.astype(np.float64) / col_sums[None, :]  # [k, s]
         iu, ju = np.triu_indices(n_samples, k=1)
-        diffs = np.abs(x[:, iu] - x[:, ju])  # [k, n_pairs]
         ci, cj = ind[iu], ind[ju]
         a = np.minimum(ci, cj)
         b = np.maximum(ci, cj)
         pair_class = a * n_classes + b  # class-pair bucket per sample pair
-        on_diag = a * n_classes + a
+        # sort the pair axis by bucket once; blocks then reduce per bucket
+        # with a single segmented sum instead of per-bucket gathers
+        order = np.argsort(pair_class, kind="stable")
+        iu_s, ju_s = iu[order], ju[order]
+        uniq, starts = np.unique(pair_class[order], return_index=True)
+        n_pairs = len(order)
+        n_b = len(uniq)
+        per_bucket = np.diff(np.append(starts, n_pairs))
+        bucket_of_pair = np.repeat(np.arange(n_b), per_bucket)
+        nb_f = per_bucket.astype(np.float64)
 
         nk = self.n_rows
-        stats = {}
-        for name in (
-            "avg_on", "avg_off", "var_on", "var_off", "cov_on", "cov_off"
-        ):
-            stats[name] = []
-        # bucket the sample-pair axis by class pair
-        buckets: Dict[int, np.ndarray] = {}
-        for p in np.unique(pair_class):
-            buckets[int(p)] = np.nonzero(pair_class == p)[0]
+        if block_bytes is None:
+            import os as _os
 
-        def _bucket_stats(sel: np.ndarray):
-            d = diffs[:, sel]  # [k, n_in_bucket]
-            n = d.shape[1]
-            mean = d.mean(axis=1) if n else np.zeros(nk)
-            if n >= 2:
-                var = d.var(axis=1, ddof=1)
-            else:
-                var = np.zeros(nk)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cov = np.where(mean > 0, np.sqrt(var) / mean, 0.0)
-            return mean, var, cov
+            block_bytes = int(
+                _os.environ.get("KPOP_DISTILL_BLOCK_BYTES", 256 << 20)
+            )
+        rows_per_block = max(
+            1, min(nk, block_bytes // max(1, n_pairs * 8 * 3))
+        )
+        sum1 = np.zeros((nk, n_b))
+        sumsq = np.zeros((nk, n_b))
+        for r0 in range(0, nk, rows_per_block):
+            r1 = min(r0 + rows_per_block, nk)
+            blk = self.counts[r0:r1].astype(np.float64) / col_sums[None, :]
+            d = blk[:, iu_s]
+            d -= blk[:, ju_s]
+            np.abs(d, out=d)
+            s1 = np.add.reduceat(d, starts, axis=1)
+            sum1[r0:r1] = s1
+            # second pass: centered squares (numerically the np.var form)
+            d -= (s1 / nb_f[None, :])[:, bucket_of_pair]
+            d *= d
+            sumsq[r0:r1] = np.add.reduceat(d, starts, axis=1)
+
+        mean_b = sum1 / nb_f[None, :]
+        var_b = np.where(
+            nb_f[None, :] >= 2.0,
+            sumsq / np.maximum(nb_f - 1.0, 1.0)[None, :],
+            0.0,
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cov_b = np.where(mean_b > 0, np.sqrt(var_b) / mean_b, 0.0)
+        col_of_bucket = {int(u): i for i, u in enumerate(uniq)}
+        zeros = np.zeros(nk)
+
+        def _bucket_stats(key: int):
+            i = col_of_bucket.get(key)
+            if i is None:  # no sample pairs (singleton class on-diagonal)
+                return zeros, zeros, zeros
+            return mean_b[:, i], var_b[:, i], cov_b[:, i]
 
         on_means, on_vars, on_covs = [], [], []
         off_means, off_vars, off_covs = [], [], []
         for a_c in range(n_classes):
-            key = a_c * n_classes + a_c
-            sel = buckets.get(key, np.zeros(0, dtype=np.int64))
-            m, v, cv = (
-                _bucket_stats(sel) if sel.size else (np.zeros(nk),) * 3
-            )
+            m, v, cv = _bucket_stats(a_c * n_classes + a_c)
             on_means.append(m)
             on_vars.append(v)
             on_covs.append(cv)
             for b_c in range(a_c + 1, n_classes):
-                key = a_c * n_classes + b_c
-                sel = buckets.get(key, np.zeros(0, dtype=np.int64))
-                m, v, cv = (
-                    _bucket_stats(sel) if sel.size else (np.zeros(nk),) * 3
-                )
+                m, v, cv = _bucket_stats(a_c * n_classes + b_c)
                 off_means.append(m)
                 off_vars.append(v)
                 off_covs.append(cv)

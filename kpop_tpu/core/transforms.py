@@ -68,18 +68,29 @@ class StatsTable:
     row_sum_log: np.ndarray
 
 
-def _axis_stats(counts: np.ndarray, threshold: float, power: float, axis: int):
+def _axis_stats(
+    counts: np.ndarray,
+    threshold: float,
+    power: float,
+    axis: int,
+    thr: np.ndarray | None = None,
+):
     """Stats along one axis with the reference's threshold semantics
     (lib/KMerDB.ml:179-216): the fractional threshold is relative to the
     *powered* sum over all entries; stats then accumulate entries whose raw
     value is >= threshold.  Note the reference initializes ``min`` to 0 so it
     never exceeds 0 for non-negative counts; we reproduce that.
+
+    ``thr``: precomputed per-lane thresholds (used by the blocked column
+    pass, where the fractional threshold depends on column sums over ALL
+    row blocks, not just this one).
     """
     c = counts.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         powered = c if power == 1.0 else np.power(c, power)
-        pre_sum = powered.sum(axis=axis)
-        thr = np.where(threshold < 1.0, threshold * pre_sum, threshold)
+        if thr is None:
+            pre_sum = powered.sum(axis=axis)
+            thr = np.where(threshold < 1.0, threshold * pre_sum, threshold)
         thr = np.expand_dims(thr, axis)
         mask = c >= thr
         non_zero = mask.sum(axis=axis)
@@ -95,14 +106,72 @@ def _axis_stats(counts: np.ndarray, threshold: float, power: float, axis: int):
     return non_zero, mn, mx, s, sum_log
 
 
-def stats_table(counts: np.ndarray, transform: Transformation) -> StatsTable:
-    """counts: [n_rows, n_cols] non-negative ints (as any numeric dtype)."""
-    cn, cmin, cmax, cs, csl = _axis_stats(
-        counts, transform.threshold, transform.power, axis=0
-    )
-    rn, rmin, rmax, rs, rsl = _axis_stats(
-        counts, transform.threshold, transform.power, axis=1
-    )
+def export_block_rows(n_cols: int, block_bytes: int | None = None) -> int:
+    """Rows per block for the streaming stats/export passes, from a byte
+    budget on the per-block float64 temporaries (default 256 MB, env
+    ``KPOP_EXPORT_BLOCK_BYTES``)."""
+    if block_bytes is None:
+        import os
+
+        block_bytes = int(os.environ.get("KPOP_EXPORT_BLOCK_BYTES", 256 << 20))
+    return max(1, block_bytes // max(1, n_cols * 8 * 4))
+
+
+def stats_table(
+    counts: np.ndarray,
+    transform: Transformation,
+    block_bytes: int | None = None,
+) -> StatsTable:
+    """counts: [n_rows, n_cols] non-negative ints (as any numeric dtype).
+
+    Streams over row blocks like the reference's chunk-parallel
+    ``stats_table_of_core_db`` (lib/KMerDB.ml:170-268): peak extra memory
+    is O(block x n_cols) float64, never a full float64 copy of the counts.
+    Row stats are complete within a block; column stats accumulate across
+    blocks (for fractional thresholds a first pass accumulates the powered
+    column sums the thresholds are relative to).
+    """
+    nr, nc = counts.shape
+    t, p = transform.threshold, transform.power
+    R = export_block_rows(nc, block_bytes)
+    if t < 1.0:
+        col_pre = np.zeros(nc)
+        for r0 in range(0, nr, R):
+            c = counts[r0 : r0 + R].astype(np.float64)
+            col_pre += (c if p == 1.0 else np.power(c, p)).sum(axis=0)
+        col_thr = t * col_pre
+    else:
+        col_thr = np.full(nc, t)
+    cn = np.zeros(nc)
+    cmin = np.zeros(nc)
+    cmax = np.zeros(nc)
+    cs = np.zeros(nc)
+    csl = np.zeros(nc)
+    c_neg_inf = np.zeros(nc, dtype=bool)
+    rn = np.zeros(nr)
+    rmin = np.zeros(nr)
+    rmax = np.zeros(nr)
+    rs = np.zeros(nr)
+    rsl = np.zeros(nr)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for r0 in range(0, nr, R):
+            r1 = min(r0 + R, nr)
+            c = counts[r0:r1].astype(np.float64)
+            powered = c if p == 1.0 else np.power(c, p)
+            mask = c >= col_thr[None, :]
+            cn += mask.sum(axis=0)
+            cmin = np.minimum(cmin, np.where(mask, c, 0).min(axis=0))
+            cmax = np.maximum(cmax, np.where(mask, c, 0).max(axis=0))
+            cs += np.where(mask, powered, 0.0).sum(axis=0)
+            logs = np.where(
+                mask & (c > 0), np.log(np.where(c > 0, c, 1.0)) * p, 0.0
+            )
+            csl += logs.sum(axis=0)
+            c_neg_inf |= (mask & (c == 0)).any(axis=0)
+            (
+                rn[r0:r1], rmin[r0:r1], rmax[r0:r1], rs[r0:r1], rsl[r0:r1]
+            ) = _axis_stats(c, t, p, axis=1)
+    csl = np.where(c_neg_inf, -np.inf, csl)
     return StatsTable(cn, cmin, cmax, cs, csl, rn, rmin, rmax, rs, rsl)
 
 

@@ -302,7 +302,9 @@ def twist_counter_db(
     principal coordinates — the ``-K`` output of src/KPopTwist:101-103)."""
     params = params or TwistParameters()
     filt = TableFilter(transform=params.transform)  # zero rows dropped
-    rows, cols, table = db.transformed(filt)
+    # identity transform (the driver default) stays int32 end to end:
+    # no float64 table copy, and the sharded CA uploads u8/u16 directly
+    rows, cols, table = db.transformed_counts(filt)
     kmer_names = [n for n, _ in rows]
     sample_names = [n for n, _ in cols]
     # [4/16] keep-list filter (src/KPopTwist:76-82)
