@@ -275,15 +275,15 @@ def main(argv=None) -> int:
             code_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
         def dmat_of_seqs(seqs):
-            codes = encode_reads_host(seqs) if space.base == 4 else None
-            if codes is None:
-                from ..core.kmers import encode_protein
-
-                enc = [encode_protein(s) for s in seqs]
-                L = max((len(e) for e in enc), default=1)
-                codes = np.full((len(enc), max(L, space.k)), -1, dtype=np.int8)
-                for i, e in enumerate(enc):
-                    codes[i, : len(e)] = e
+            # one native batch-encode call for either alphabet (DNA base-4 /
+            # protein base-20, kpop_native.cpp kpop_encode_batch)
+            codes = encode_reads_host(seqs, protein=space.base != 4)
+            if codes.shape[1] < space.k:  # shorter than k: all-break pad
+                codes = np.pad(
+                    codes,
+                    ((0, 0), (0, space.k - codes.shape[1])),
+                    constant_values=-1,
+                )
             n = codes.shape[0]
             if pad_multiple > 1:
                 pad = (-n) % pad_multiple

@@ -33,11 +33,22 @@ DEFAULT_MAX_RESULTS_SIZE = 16_777_216  # 4^12, bin/KPopCount.ml:89
 
 
 def content_encoder(content: str):
-    if content in ("DNA-ss", "DNA-ds"):
-        return encode_dna
-    if content == "protein":
-        return encode_protein
-    raise ValueError(f"unknown content {content!r}")
+    if content not in ("DNA-ss", "DNA-ds", "protein"):
+        raise ValueError(f"unknown content {content!r}")
+    protein = content == "protein"
+    try:
+        from .. import native
+
+        if native.available():
+            nat = native.encode_protein if protein else native.encode_dna
+
+            def enc(seq):
+                return nat(seq.encode() if isinstance(seq, str) else seq)
+
+            return enc
+    except ImportError:
+        pass
+    return encode_protein if protein else encode_dna
 
 
 @dataclass

@@ -56,6 +56,12 @@ def get_lib():
             return None
         lib.kpop_encode_dna.restype = _i64
         lib.kpop_encode_dna.argtypes = [_u8p, _i64, _i8p]
+        lib.kpop_encode_protein.restype = _i64
+        lib.kpop_encode_protein.argtypes = [_u8p, _i64, _i8p]
+        lib.kpop_encode_batch.restype = None
+        lib.kpop_encode_batch.argtypes = [
+            _u8p, _i64p, _i64p, _i64, _i64, ctypes.c_int32, _i8p, _i64p,
+        ]
         for fn in (lib.kpop_fasta_encode_batch, lib.kpop_fastq_encode_batch):
             fn.restype = _i64
             fn.argtypes = [
@@ -99,6 +105,52 @@ def encode_dna(seq: bytes) -> np.ndarray:
         raw.ctypes.data_as(_u8p), len(seq), out.ctypes.data_as(_i8p)
     )
     return out[:m]
+
+
+def encode_protein(seq: bytes) -> np.ndarray:
+    lib = get_lib()
+    out = np.empty(len(seq), dtype=np.int8)
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    m = lib.kpop_encode_protein(
+        raw.ctypes.data_as(_u8p), len(seq), out.ctypes.data_as(_i8p)
+    )
+    return out[:m]
+
+
+def encode_batch(
+    seqs, protein: bool, length: int | None = None
+) -> np.ndarray:
+    """Batch lint+encode into a padded ``[n, L]`` int8 matrix (-1 pad).
+
+    One C call replaces the per-sequence Python loop of the serving path;
+    ``L`` is the longest encoded length (>= ``length`` if given), matching
+    the numpy fallback in ops/encode.py byte for byte.
+    """
+    lib = get_lib()
+    bs = [s.encode() if isinstance(s, str) else s for s in seqs]
+    n = len(bs)
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    offs = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1], out=offs[1:])
+    buf = b"".join(bs)
+    raw = np.frombuffer(buf or b"\x00", dtype=np.uint8)
+    cap = max(int(lens.max()) if n else 0, length or 0, 1)
+    out = np.empty((n, cap), dtype=np.int8)
+    enc_len = np.empty(n, dtype=np.int64)
+    lib.kpop_encode_batch(
+        raw.ctypes.data_as(_u8p),
+        offs.ctypes.data_as(_i64p),
+        lens.ctypes.data_as(_i64p),
+        n,
+        cap,
+        int(protein),
+        out.ctypes.data_as(_i8p),
+        enc_len.ctypes.data_as(_i64p),
+    )
+    # explicit length pads AND truncates to it (the numpy fallback contract)
+    width = length if length else max(int(enc_len.max()) if n else 0, 1)
+    return np.ascontiguousarray(out[:, :width])
 
 
 def fasta_encode_batch(

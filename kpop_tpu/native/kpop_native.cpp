@@ -33,6 +33,23 @@ struct DnaTables {
 };
 const DnaTables kDna;
 
+// Protein: base-20 over "ACDEFGHIKLMNPQRSTVWY" (core/kmers.py
+// PROTEIN_ALPHABET; reference protein mode bin/KPopCount.ml:66-82),
+// lowercase accepted, dashes removed, anything else -> -1 (window break).
+struct ProtTables {
+  int8_t code[256];
+  ProtTables() {
+    std::memset(code, -1, sizeof(code));
+    const char* a = "ACDEFGHIKLMNPQRSTVWY";
+    for (int i = 0; a[i]; ++i) {
+      code[(unsigned)a[i]] = (int8_t)i;
+      code[(unsigned)(a[i] + 32)] = (int8_t)i;
+    }
+    code[(unsigned)'-'] = -2;
+  }
+};
+const ProtTables kProt;
+
 }  // namespace
 
 extern "C" {
@@ -46,6 +63,40 @@ int64_t kpop_encode_dna(const uint8_t* in, int64_t n, int8_t* out) {
     out[m++] = c;
   }
   return m;
+}
+
+// Lint + encode protein bytes into int8 base-20 codes; returns codes written.
+int64_t kpop_encode_protein(const uint8_t* in, int64_t n, int8_t* out) {
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int8_t c = kProt.code[in[i]];
+    if (c == -2) continue;
+    out[m++] = c;
+  }
+  return m;
+}
+
+// Batch encode n_seqs sequences (concatenated in buf at offs/lens) into a
+// padded [n_seqs, max_len] int8 matrix (-1 pad, dashes removed); protein
+// selects the base-20 table.  enc_len[s] records each encoded length
+// (pre-truncation) so the caller can trim the pad width.
+void kpop_encode_batch(const uint8_t* buf, const int64_t* offs,
+                       const int64_t* lens, int64_t n_seqs, int64_t max_len,
+                       int32_t protein, int8_t* out, int64_t* enc_len) {
+  const int8_t* tab = protein ? kProt.code : kDna.code;
+  for (int64_t s = 0; s < n_seqs; ++s) {
+    const uint8_t* src = buf + offs[s];
+    int8_t* dst = out + s * max_len;
+    int64_t m = 0, total = 0;
+    for (int64_t i = 0; i < lens[s]; ++i) {
+      int8_t c = tab[src[i]];
+      if (c == -2) continue;
+      ++total;
+      if (m < max_len) dst[m++] = c;
+    }
+    for (; m < max_len; ++m) dst[m] = -1;
+    enc_len[s] = total;
+  }
 }
 
 // Parse FASTA text from a buffer; encode up to max_seqs sequences into

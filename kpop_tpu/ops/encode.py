@@ -226,16 +226,28 @@ def unpack_2bit_batch(packed, valid, length: int):
 
 
 def encode_reads_host(
-    seqs: list[str], length: int | None = None
+    seqs: list[str], length: int | None = None, protein: bool = False
 ) -> np.ndarray:
     """Host helper: lint+encode sequences and pad to a common length with -1.
 
-    Padding breaks windows at sequence ends automatically.
+    Padding breaks windows at sequence ends automatically.  Uses the native
+    batch encoder (one C call per batch, kpop_native.cpp kpop_encode_batch)
+    when available — the protein serving path previously looped Python per
+    sequence — with a numpy fallback of identical output.
     """
-    from ..core.kmers import encode_dna
+    try:
+        from .. import native
 
-    encoded = [encode_dna(s) for s in seqs]
+        if native.available():
+            return native.encode_batch(seqs, protein, length)
+    except ImportError:
+        pass
+    from ..core.kmers import encode_dna, encode_protein
+
+    enc = encode_protein if protein else encode_dna
+    encoded = [enc(s) for s in seqs]
     L = length or max((len(e) for e in encoded), default=0)
+    L = max(L, 1)
     out = np.full((len(encoded), L), -1, dtype=np.int8)
     for i, e in enumerate(encoded):
         out[i, : min(len(e), L)] = e[:L]

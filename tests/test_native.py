@@ -101,3 +101,44 @@ def test_pack_unpack_roundtrip():
     assert packed.shape == (4, 10) and valid.shape == (4, 5)
     got = np.asarray(unpack_2bit_batch(jnp.asarray(packed), jnp.asarray(valid), 37))
     np.testing.assert_array_equal(got, codes)
+
+
+def random_protein(rng, n):
+    pool = list(kmers.PROTEIN_ALPHABET + kmers.PROTEIN_ALPHABET.lower() + "XBZ*-")
+    return "".join(rng.choice(pool, size=n))
+
+
+def test_encode_protein_matches_python():
+    rng = np.random.default_rng(4)
+    for _ in range(20):
+        seq = random_protein(rng, 300)
+        want = kmers.encode_protein(seq)
+        got = native.encode_protein(seq.encode())
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("protein", [False, True])
+def test_encode_batch_matches_numpy_fallback(protein):
+    """native.encode_batch must equal the numpy loop in encode_reads_host
+    byte for byte, including the lint (dash removal, lowercase, breaks),
+    the padded width, and explicit-length truncation."""
+    rng = np.random.default_rng(5)
+    gen = random_protein if protein else random_dna
+    enc = kmers.encode_protein if protein else kmers.encode_dna
+    seqs = [gen(rng, int(n)) for n in rng.integers(5, 120, size=16)]
+
+    def numpy_batch(seqs, length=None):
+        encoded = [enc(s) for s in seqs]
+        L = length or max((len(e) for e in encoded), default=0)
+        L = max(L, 1)
+        out = np.full((len(encoded), L), -1, dtype=np.int8)
+        for i, e in enumerate(encoded):
+            out[i, : min(len(e), L)] = e[:L]
+        return out
+
+    got = native.encode_batch(seqs, protein)
+    np.testing.assert_array_equal(got, numpy_batch(seqs))
+    got = native.encode_batch(seqs, protein, length=40)  # truncation
+    np.testing.assert_array_equal(got, numpy_batch(seqs, length=40))
+    got = native.encode_batch(seqs, protein, length=500)  # extra pad
+    np.testing.assert_array_equal(got, numpy_batch(seqs, length=500))
