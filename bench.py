@@ -1,22 +1,33 @@
 #!/usr/bin/env python3
-"""Headline benchmark: the REAL pipeline, trained then served on-chip.
+"""Headline benchmark: the REAL pipeline, trained then served on-chip, on a
+HARD corpus.
 
-Phase A (host):   simulate a 512-class SARS-CoV-2-shaped corpus (30 kb
-                  genomes mutated from one root), k=10, and count the real
-                  per-class spectra into a [K_vocab, 512] table.
+Phase A (host):   simulate a SARS-CoV-2-shaped phylogeny (tests/data/phylo
+                  random_clade_tree + JC69 simSeq): 512 sibling classes of
+                  30 kb genomes with within-class divergence comparable to
+                  between-class — the README.md:1083-1085 difficulty, not
+                  star-topology mutants.  Half of each clade's tips train
+                  the per-class representative spectra ([K_vocab, 512]
+                  table, k=10); the other half are held out for serving.
 Phase B (train):  fit the twister on device with the sharded two-limb CA
                   (parallel/sharded.py::ca_fit_sharded) — the BASELINE.md
                   "CA-SVD wall time" north star is reported from here.
-Phase C (serve):  classify genome batches with the TRAINED artifacts
+Phase C (serve):  classify the HELD-OUT tips with the TRAINED artifacts
                   (vocabulary, twister, class coordinates) through the fused
-                  count -> project -> classify pipeline.  Each timed
-                  iteration includes FASTA parse, host int8 encode, 2-bit
-                  pack, host->device transfer, window hashing, scatter,
-                  vocab gather, MXU projection and nearest-class digest.
+                  count -> project -> classify pipeline; top-1 accuracy over
+                  every held-out tip is recorded and gated >= 0.95
+                  (reference anchor: 95.3%, README.md:1083-1085).  Each
+                  timed iteration includes FASTA parse, host int8 encode,
+                  2-bit pack, host->device transfer, window hashing,
+                  scatter, vocab gather, MXU projection and nearest-class
+                  digest.
 Phase D (detail): device-only throughput (codes pre-staged in HBM), host
                   encode cost, bf16-twister variant — written to
                   BENCH_DETAILS.json next to this script, reconciling the
                   transfer-bound e2e number with the compute-bound one.
+Phase E (detail): serving at a >= 2M-row k=12 vocabulary (the reference's
+                  TB-flagship vocabulary scale, README.md:530) — shape/HBM/
+                  throughput record for the large-vocab serving path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 ``vs_baseline`` is the speedup over the reference's ~13 seq/s
@@ -25,6 +36,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 import sys
@@ -35,42 +47,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_SEQS_PER_S = 13.0  # reference README.md:1049 (~650K seqs / 14 h)
-DETAILS_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-)
+REPO = os.path.dirname(os.path.abspath(__file__))
+DETAILS_PATH = os.path.join(REPO, "BENCH_DETAILS.json")
 
 
-def _build_corpus(rng, k, n_classes, L, class_mut):
-    """Count real per-class spectra; return (space, vocab hex labels,
-    table [K, C] float64, class genomes as int8 code arrays)."""
+def _phylo():
+    spec = importlib.util.spec_from_file_location(
+        "kpop_bench_phylo", os.path.join(REPO, "tests", "data", "phylo.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod  # dataclasses resolve via sys.modules
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _build_corpus(rng, k, n_classes, L, tips_per_class=4,
+                  between=0.08, within=0.15, rate=0.01):
+    """Covid-shaped corpus: sibling clades with within ~ between divergence
+    (tests/data/phylo.py; same tree/JC69 parameters as the pinned accuracy
+    regression tests/test_e2e_phylo.py::test_covid_shape_accuracy, at 15x
+    the genome length and 25x the class count).
+
+    Returns (space, vocab hex labels, table [K, C] int32 of per-class
+    training-representative counts — the first half of each clade's tips,
+    mean-combined = summed — and held-out tips [(class_idx, codes)]).
+    """
     from kpop_tpu.core.count import spectrum_of_sequences
     from kpop_tpu.core.kmers import KmerSpace
 
+    phylo = _phylo()
     space = KmerSpace("DNA-ds", k)
-    bases = np.array(list("ACGT"))
+    tree = phylo.random_clade_tree(
+        rng, n_classes, tips_per_class, between=between, within=within
+    )
     root = rng.integers(0, 4, size=L)
-    genomes = []
+    seqs = phylo.sim_seq(rng, tree, root, rate=rate)
+    by_class: dict = {}
+    for name, codes in seqs.items():
+        by_class.setdefault(int(name.split("-")[1]) - 1, []).append(
+            (int(name.split("-")[0]), codes)
+        )
     vocab_index: dict = {}
     cols = []
-    for _c in range(n_classes):
-        g = root.copy()
-        pos = rng.choice(L, size=class_mut, replace=False)
-        g[pos] = (g[pos] + rng.integers(1, 4, size=class_mut)) % 4
-        genomes.append(g)
-        codes, counts = spectrum_of_sequences(space, ["".join(bases[g])])
+    held_out = []
+    for c in range(n_classes):
+        members = sorted(by_class[c])
+        half = len(members) // 2
+        train = ["".join("ACGT"[b] for b in g) for _, g in members[:half]]
+        held_out.extend(
+            (c, g.astype(np.int8)) for _, g in members[half:]
+        )
+        codes, counts = spectrum_of_sequences(space, train)
         rows = np.empty(len(codes), dtype=np.int64)
         for i, cd in enumerate(codes):
             rows[i] = vocab_index.setdefault(int(cd), len(vocab_index))
         cols.append((rows, counts))
     K = len(vocab_index)
-    table = np.zeros((K, n_classes))
+    table = np.zeros((K, n_classes), dtype=np.int32)
     for c, (rows, counts) in enumerate(cols):
         table[rows, c] = counts
     inv = np.empty(K, dtype=np.uint64)
     for code, row in vocab_index.items():
         inv[row] = code
     vocab_hex = [space.code_to_hex(int(cd)) for cd in inv]
-    return space, vocab_hex, table, genomes
+    return space, vocab_hex, table, held_out
 
 
 def main() -> None:
@@ -106,12 +146,19 @@ def main() -> None:
     T0 = time.perf_counter()
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    space, vocab_hex, table, genomes = _build_corpus(
-        rng, k, C, L, class_mut=60
-    )
+    space, vocab_hex, table, held_out = _build_corpus(rng, k, C, L)
     details["corpus_prep_s"] = round(time.perf_counter() - t0, 2)
     details["vocab_size"] = table.shape[0]
-    log("corpus ready: vocab %d" % table.shape[0])
+    details["corpus"] = {
+        "shape": "phylo clade tree (tests/data/phylo.py), 512 sibling "
+                 "classes x 4 tips, within=0.15 between=0.08 rate=0.01 "
+                 "(within-class divergence ~ between-class; the "
+                 "README.md:1083-1085 difficulty)",
+        "train_tips_per_class": 2,
+        "held_out_tips": len(held_out),
+    }
+    log("corpus ready: vocab %d, %d held-out tips"
+        % (table.shape[0], len(held_out)))
 
     # ---- Phase B: on-device CA training (the CA-SVD wall-time north star) --
     mesh = make_mesh()
@@ -156,16 +203,20 @@ def main() -> None:
     )
     log("serving params built")
 
-    # ---- serving payload: mutated genomes as a FASTA byte stream ----
+    # ---- serving payload: HELD-OUT tips as FASTA byte streams ----
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    truth = rng.integers(0, C, size=B)
-    payload_parts = []
-    for i in range(B):
-        g = genomes[truth[i]].copy()
-        pos = rng.choice(L, size=30, replace=False)
-        g[pos] = (g[pos] + rng.integers(1, 4, size=30)) % 4
-        payload_parts.append(b">seq%d\n%s\n" % (i, bases[g].tobytes()))
-    payload = b"".join(payload_parts)
+    perm = rng.permutation(len(held_out))
+    eval_batches = []  # (truth [B], fasta bytes) covering every held-out tip
+    for b0 in range(0, len(held_out) - B + 1, B):
+        tips = [held_out[j] for j in perm[b0 : b0 + B]]
+        fasta = b"".join(
+            b">seq%d\n%s\n" % (i, bases[g].tobytes())
+            for i, (_c, g) in enumerate(tips)
+        )
+        eval_batches.append(
+            (np.array([c for c, _ in tips], dtype=np.int64), fasta)
+        )
+    truth, payload = eval_batches[0]
 
     from kpop_tpu import native
 
@@ -174,7 +225,7 @@ def main() -> None:
     for i, ch in enumerate(b"ACGT"):
         base_map[ch] = i
 
-    def host_encode() -> np.ndarray:
+    def host_encode(payload: bytes = payload) -> np.ndarray:
         if use_native:
             codes, _names, _lens, _consumed = native.fasta_encode_batch(
                 payload, B, L
@@ -207,8 +258,8 @@ def main() -> None:
     else:
         step = jax.jit(_step_impl)
 
-    def encode_and_dispatch(p):
-        codes = host_encode()
+    def encode_and_dispatch(p, pl: bytes = payload):
+        codes = host_encode(pl)
         if use_native:
             packed, valid = native.pack_2bit_batch(codes)
             return step_packed(p, jnp.asarray(packed), jnp.asarray(valid))
@@ -220,11 +271,18 @@ def main() -> None:
         "bench: warmup (compile+first batch) %.1fs\n"
         % (time.perf_counter() - t_warm)
     )
-    # sanity: the trained classifier must actually classify (mutated genomes
-    # back to their class)
-    acc = float((np.asarray(first[0])[:, 0] == truth).mean())
-    details["serving_top1_accuracy"] = acc
-    if acc < 0.99:
+    # accuracy over EVERY held-out tip (the hard covid-shaped task; gate
+    # matches the reference's 95.3% anchor, README.md:1083-1085)
+    correct, total = 0, 0
+    for tr, pl in eval_batches:
+        out = jax.device_get(encode_and_dispatch(params, pl))
+        correct += int((np.asarray(out[0])[:, 0] == tr).sum())
+        total += len(tr)
+    acc = correct / total
+    details["serving_top1_accuracy"] = round(acc, 4)
+    details["accuracy_n_heldout"] = total
+    log("held-out accuracy %.4f over %d tips" % (acc, total))
+    if acc < 0.95:
         sys.stderr.write(f"bench: WARNING trained accuracy {acc:.3f}\n")
 
     def timed_pass(p) -> float:
@@ -333,22 +391,83 @@ def main() -> None:
     details["reconciliation"] = (
         "device_only stages the batch in HBM once and measures the fused "
         "pipeline; e2e adds FASTA parse + encode + tunnel upload + result "
-        "download. At this trained vocabulary (221K k-mers, 511 dims) the "
-        "pipeline is SCATTER-bound on chip (~43 of ~68 ms/batch is the "
-        "[B, V] spectrum scatter; measured, see docs/DESIGN.md), so e2e and "
-        "device-only are within ~10%. Round-1's 1775 vs 9.6K figures "
-        "compared different (random-artefact) shapes and are superseded by "
-        "this recorded pair."
+        "download. At this trained vocabulary the pipeline is SCATTER-bound "
+        "on chip (at 221K k-mers: ~43 of ~68 ms/batch is the [B, V] "
+        "spectrum scatter; measured, see docs/DESIGN.md), so e2e and "
+        "device-only are close. Earlier rounds' figures compared different "
+        "corpus shapes (round 2: star-topology mutants of one root) and "
+        "are superseded by this covid-shaped phylo pair."
     )
+
+    # ---- Phase E: serving at a >= 2M-row k=12 vocabulary (TB scale) ----
+    if os.environ.get("KPOP_PLATFORM") != "cpu":
+        from kpop_tpu.core.kmers import KmerSpace
+        from kpop_tpu.ops.pipeline import ClassifierParams as _CP
+
+        log("large-vocab (2M x 512) serving record")
+        k2, V2, d2 = 12, 2_000_000, 512
+        space2 = KmerSpace("DNA-ds", k2)
+        big = rng.integers(0, 4, size=6_000_000).astype(np.int8)
+        wc2 = space2.window_codes(big)
+        uniq = np.unique(wc2)[:V2]
+        lut2 = np.full(space2.n_kmers + 1, V2, dtype=np.int32)
+        lut2[uniq.astype(np.int64)] = np.arange(V2, dtype=np.int32)
+
+        # twister values are irrelevant for a shape/throughput record:
+        # generate ON DEVICE (a 4.1 GB f32 host upload would only measure
+        # the tunnel)
+        @jax.jit
+        def _make_tw():
+            r = jax.lax.broadcasted_iota(jnp.int32, (V2, d2), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (V2, d2), 1)
+            return ((r * 37 + c * 11) % 1009).astype(jnp.float32) * 1e-3
+
+        params_big = _CP(
+            vocab_lut=jnp.asarray(lut2),
+            twister=_make_tw(),
+            metric=jnp.full((d2,), 1.0 / d2, jnp.float32),
+            class_coords=jnp.asarray(
+                rng.standard_normal((C, d2)).astype(np.float32)
+            ),
+            class_norms=jnp.ones((C,), jnp.float32),
+            k=k2,
+            canonical=True,
+        )
+        B2 = 64
+        offs = rng.integers(0, len(big) - L, size=B2)
+        codes_big = np.stack([big[o : o + L] for o in offs])
+        step_big = jax.jit(_step_impl)
+        cb = jnp.asarray(codes_big)
+        jax.device_get(step_big(params_big, cb))  # compile + first run
+        t0 = time.perf_counter()
+        outs = [step_big(params_big, cb) for _ in range(10)]
+        jax.device_get(outs[-1])
+        big_rate = 10 * B2 / (time.perf_counter() - t0)
+        details["large_vocab_serving"] = {
+            "vocab_rows": V2,
+            "dims": d2,
+            "k": k2,
+            "twister_gb_f32": round(V2 * d2 * 4 / 2**30, 2),
+            "device_only_seqs_per_s": round(big_rate, 1),
+            "note": "k=12 dense-LUT vocabulary at the reference TB-flagship "
+                    "scale (README.md:530); single chip, f32 twister "
+                    "device-generated (shape/HBM/throughput record — class "
+                    "values synthetic). Sharded layouts for vocabularies "
+                    "beyond one chip: parallel/serving.py + DESIGN.md HBM "
+                    "table.",
+        }
+        log("large-vocab record %.1f seqs/s" % big_rate)
 
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
-                "metric": "trained count+twist-project+classify throughput "
-                          "(30kb seqs, k=10, %d-kmer trained twister, "
-                          "%d dims, %d classes)" % (table.shape[0], d, C),
+                "metric": "trained count+twist-project+classify throughput, "
+                          "covid-shaped phylo corpus (30kb held-out tips, "
+                          "k=10, %d-kmer trained twister, %d dims, "
+                          "%d classes, top-1 accuracy %.3f over %d tips)"
+                          % (table.shape[0], d, C, acc, total),
                 "value": round(seqs_per_s, 1),
                 "unit": "spectra/s/chip",
                 "vs_baseline": round(seqs_per_s / BASELINE_SEQS_PER_S, 1),
@@ -366,8 +485,8 @@ def _supervise() -> int:
 
     here = os.path.abspath(__file__)
     attempts = [
-        (540, {}),
-        (360, {}),
+        (720, {}),
+        (480, {}),
         (600, {"KPOP_PLATFORM": "cpu", "KPOP_BENCH_BATCHES": "2"}),
     ]
     for timeout_s, extra_env in attempts:

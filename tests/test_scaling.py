@@ -1,0 +1,47 @@
+"""Mesh-scaling regression: the sharded CA and the kmer-sharded serving
+must not slow down pathologically as the mesh grows (the collective payload
+is O(B x d), independent of the sharded axis).  The committed full curve is
+BENCH_SCALING.json (benchmarks/scaling.py)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_child(n_dev: int) -> dict:
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO
+    env["KPOP_SCALING_SCALE"] = "0.5"
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "benchmarks", "scaling.py"),
+            "--child",
+            str(n_dev),
+        ],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    line = next(
+        l for l in res.stdout.splitlines() if l.startswith("{")
+    )
+    return json.loads(line)
+
+
+def test_no_pathological_slowdown_at_8_devices():
+    one = _run_child(1)
+    eight = _run_child(8)
+    assert eight["mesh"] == {"data": 4, "kmer": 2}
+    # virtual devices share one CPU: no real speedup guaranteed, but the
+    # sharded paths must not regress past fixed dispatch/collective
+    # overhead (full-scale curve: 2-3x FASTER; at this reduced CI scale
+    # serving pays ~15 ms of per-device dispatch against a ~60 ms batch)
+    assert eight["ca_warm_s"] <= 1.5 * one["ca_warm_s"], (one, eight)
+    assert (
+        eight["serving_warm_s_per_batch"]
+        <= 2.0 * one["serving_warm_s_per_batch"]
+    ), (one, eight)
