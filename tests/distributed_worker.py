@@ -99,6 +99,66 @@ def main() -> int:
     assert twister.shape == want.twister.shape
     np.testing.assert_allclose(twister, want.twister, rtol=0, atol=5e-3)
 
+    # ---- kmer-sharded serving across processes (parallel/serving.py) ----
+    import jax.numpy as jnp
+
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.ops.pipeline import ClassifierParams
+    from kpop_tpu.parallel.serving import (
+        shard_classifier_params,
+        sharded_dmat_fn,
+    )
+
+    space = KmerSpace("DNA-ds", 5)
+    rngs = np.random.default_rng(7)  # identical params on both processes
+    V, d, C, B, L = 96, 8, 5, 8, 64
+    vocab_codes = np.sort(rngs.choice(space.n_kmers, size=V, replace=False))
+    lut = np.full(space.n_kmers + 1, V, dtype=np.int32)
+    lut[vocab_codes.astype(np.int64)] = np.arange(V, dtype=np.int32)
+    tw = rngs.standard_normal((V, d)).astype(np.float32)
+    ccoords = rngs.standard_normal((C, d)).astype(np.float32)
+    metric = np.full(d, 1.0 / d, dtype=np.float32)
+    cn = np.sqrt((ccoords.astype(np.float64) ** 2 * metric).sum(axis=1))
+    cn = np.where(cn == 0.0, 1.0, cn)
+    params = ClassifierParams(
+        jnp.asarray(lut), jnp.asarray(tw), jnp.asarray(metric),
+        jnp.asarray(ccoords), jnp.asarray(cn.astype(np.float32)), 5, True,
+    )
+    sp, vg = shard_classifier_params(params, mesh)
+    assert vg == V
+    # the twister must be spread over BOTH processes' devices
+    assert len(sp.twister.addressable_shards) < len(sp.twister.sharding.device_set)
+    codes = rngs.integers(0, 4, size=(B, L)).astype(np.int8)
+    gb = jax.make_array_from_callback(
+        (B, L),
+        NamedSharding(mesh, P(DATA_AXIS, None)),
+        lambda idx: codes[idx],
+    )
+    dmat = sharded_dmat_fn(mesh, vg)(sp, gb)
+    # host golden: numpy count -> normalize over known -> project -> distance
+    code_to_col = {int(c): i for i, c in enumerate(vocab_codes)}
+    want = np.zeros((B, C))
+    for b in range(B):
+        spec = np.zeros(V)
+        for c in space.window_codes(codes[b]):
+            col = code_to_col.get(int(c))
+            if col is not None:
+                spec[col] += 1.0
+        total = spec.sum()
+        if total:
+            spec /= total
+        tv = spec @ tw.astype(np.float64)
+        na = float(np.sqrt((tv**2 * metric).sum())) or 1.0
+        aa = tv / na
+        bb = ccoords.astype(np.float64) / cn[:, None]
+        want[b] = np.sqrt(np.maximum(
+            ((aa[None, :] - bb) ** 2 * metric[None, :]).sum(axis=1), 0.0
+        ))
+    for s in dmat.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(s.data, dtype=np.float64), want[s.index], atol=1e-4
+        )
+
     with open(os.path.join(workdir, f"ok.{pid}"), "w") as f:
         json.dump({"process": pid, "devices": len(jax.devices())}, f)
     return 0

@@ -7,7 +7,10 @@ devices each = 8 global) and verifies, inside the workers:
 - per-process FASTA encode + ``global_batch`` assembly into one global
   mesh-sharded array (content checksum vs a host pass over all files),
 - ``save_sharded`` / ``load_sharded`` across per-process shard files,
-- ``ca_fit_sharded`` parity with the host float64 CA.
+- ``ca_fit_sharded`` parity with the host float64 CA,
+- kmer-sharded serving (``parallel/serving.py``): twister rows partitioned
+  across BOTH processes' devices, cross-process projection psum, parity
+  with a host numpy re-computation.
 
 This is the replacement's actual correctness test for the reference's
 manual multi-node scatter + ``-a`` merge workflow (README.md:1049-1067);
