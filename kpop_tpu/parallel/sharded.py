@@ -486,7 +486,13 @@ def ca_fit_sharded(
         roww = N.sum(axis=1, dtype=np.float64)
         colw = N.sum(axis=0, dtype=np.float64)
     else:
-        roww = N.astype(np.float64, copy=False) @ w
+        # blocked N @ w: a whole-table astype(float64) would double the
+        # table's memory (8 B/entry) exactly at the flagship shapes the
+        # streaming paths exist for
+        roww = np.empty(N.shape[0], dtype=np.float64)
+        step = max(1, (64 << 20) // max(1, N.shape[1] * 8))
+        for i in range(0, N.shape[0], step):
+            roww[i : i + step] = N[i : i + step].astype(np.float64) @ w
         colw = N.sum(axis=0, dtype=np.float64) * w
     total = float(roww.sum())
     r = roww / total

@@ -214,3 +214,41 @@ def test_classify_auto_sharding_by_budget(tmp_path):
     assert "kmer-parallel 8" in res.stderr
     lines = (tmp_path / "Sum.KPopSummary.txt").read_text().splitlines()
     assert len(lines) == 1 and lines[0].startswith("q0\t")
+
+
+def test_sharded_bf16_matches_f32_predictions(jnp):
+    """bf16 twister storage composes with kmer sharding: the psum
+    accumulates f32 partials, so predictions must match f32 exactly on
+    well-separated classes and distances stay within bf16 tolerance."""
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.core.twister import twist_counter_db
+    from kpop_tpu.ops.encode import encode_reads_host
+    from kpop_tpu.ops.pipeline import build_classifier_params
+    from kpop_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from kpop_tpu.parallel.serving import (
+        shard_classifier_params,
+        sharded_dmat_fn,
+    )
+
+    rng = np.random.default_rng(31)
+    space = KmerSpace("DNA-ds", 6)
+    twister, twisted, _ = twist_counter_db(_train_db(rng, space))
+    coords = np.asarray(twisted.matrix.data)
+    p32 = build_classifier_params(space, twister, coords)
+    pbf = build_classifier_params(space, twister, coords, dtype=jnp.bfloat16)
+
+    mesh = make_mesh(8, data_parallel=2)
+    batch = encode_reads_host(_random_seqs(rng, 4, 150))
+    pad = (-batch.shape[0]) % mesh.shape[DATA_AXIS]
+    if pad:
+        batch = np.concatenate(
+            [batch, np.full((pad, batch.shape[1]), -1, np.int8)]
+        )
+    bd = jnp.asarray(batch)
+    s32, v = shard_classifier_params(p32, mesh)
+    sbf, v2 = shard_classifier_params(pbf, mesh)
+    assert v == v2 and str(sbf.twister.dtype) == "bfloat16"
+    d32 = np.asarray(sharded_dmat_fn(mesh, v)(s32, bd))[:4]
+    dbf = np.asarray(sharded_dmat_fn(mesh, v)(sbf, bd))[:4]
+    np.testing.assert_array_equal(d32.argmin(axis=1), dbf.argmin(axis=1))
+    np.testing.assert_allclose(dbf, d32, rtol=0.03, atol=0.02)
