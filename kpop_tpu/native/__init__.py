@@ -54,6 +54,18 @@ def get_lib():
             lib = ctypes.CDLL(_LIB)
         except OSError:
             return None
+        # A stale .so (e.g. from a checkout whose mtime ties the source)
+        # may predate newer entry points: verify and rebuild once.
+        if not hasattr(lib, "kpop_encode_batch"):
+            del lib
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
+            if not hasattr(lib, "kpop_encode_batch"):
+                return None
         lib.kpop_encode_dna.restype = _i64
         lib.kpop_encode_dna.argtypes = [_u8p, _i64, _i8p]
         lib.kpop_encode_protein.restype = _i64
