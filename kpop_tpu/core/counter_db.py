@@ -43,6 +43,19 @@ from .kmers import hex_labels_vectorized
 from .matrix import MatrixType, NamedMatrix
 from .transforms import StatsTable, Transformation, apply_transform, stats_table
 
+
+def _native_formatter():
+    """The native module when the C text formatter is available, else None.
+
+    Table/spectra export formatting is the host hot loop of the reference's
+    chunk-parallel writers (lib/KMerDB.ml:1004-1239); the C formatter
+    replaces rows*cols interpreter-level "%.Ng" calls per block."""
+    try:
+        from .. import native
+    except Exception:
+        return None
+    return native if native.available() else None
+
 BINARY_TAG = "KPopCounter"
 
 
@@ -687,12 +700,35 @@ class CounterDB:
                     ]
                     lead = "\t" if filter.print_row_names else ""
                     f.write(lead + "\t".join(names) + "\n")
+                fmt_native = _native_formatter()
                 C = self._col_block_size(max(1, len(ri)), block_bytes)
+                with_prefix = bool(filter.print_row_names or meta_rows)
                 for c0 in range(0, len(ci), C):
                     ci_chunk = ci[c0 : c0 + C]
                     slab = self._transformed_col_block(
                         filter, ri, ci_chunk, stats
                     )
+                    if fmt_native is not None:
+                        prefixes = None
+                        if with_prefix:
+                            prefixes = []
+                            for col_idx in ci_chunk:
+                                parts = (
+                                    [col_names[col_idx]]
+                                    if filter.print_row_names
+                                    else []
+                                )
+                                parts += [
+                                    self.meta[col_idx][mi]
+                                    for _, mi in meta_rows
+                                ]
+                                prefixes.append("\t".join(parts))
+                        f.write(
+                            fmt_native.format_tsv(
+                                slab.T, filter.precision, prefixes
+                            ).decode("ascii", "surrogateescape")
+                        )
+                        continue
                     for j, col_idx in enumerate(ci_chunk):
                         parts = []
                         if filter.print_row_names:
@@ -714,6 +750,7 @@ class CounterDB:
                     parts = [meta_name] if filter.print_row_names else []
                     parts += [self.meta[c][mi] for c in ci]
                     f.write("\t".join(parts) + "\n")
+                fmt_native = _native_formatter()
                 R = export_block_rows(max(1, len(ci)), block_bytes)
                 for r0 in range(0, len(ri), R):
                     ridx = ri[r0 : r0 + R]
@@ -726,6 +763,18 @@ class CounterDB:
                         if len(ridx) and len(ci)
                         else np.zeros((len(ridx), len(ci)))
                     )
+                    if fmt_native is not None:
+                        prefixes = (
+                            [row_names[i] for i in ridx]
+                            if filter.print_row_names
+                            else None
+                        )
+                        f.write(
+                            fmt_native.format_tsv(
+                                blk, filter.precision, prefixes
+                            ).decode("ascii", "surrogateescape")
+                        )
+                        continue
                     for i, row_i in enumerate(ridx):
                         parts = (
                             [row_names[row_i]]
@@ -752,6 +801,12 @@ class CounterDB:
         row_names, col_names = self.row_names, self.col_names
         f = open_out(path)
         try:
+            fmt_native = _native_formatter()
+            names_blob = (
+                fmt_native._names_blob([row_names[i] for i in ri])
+                if fmt_native is not None and len(ri)
+                else None
+            )
             C = self._col_block_size(max(1, len(ri)), block_bytes)
             for c0 in range(0, len(ci), C):
                 ci_chunk = ci[c0 : c0 + C]
@@ -761,6 +816,13 @@ class CounterDB:
                 for j, col_idx in enumerate(ci_chunk):
                     f.write("\t%s\n" % col_names[col_idx])
                     vals = slab[:, j]
+                    if names_blob is not None:
+                        f.write(
+                            fmt_native.format_spectra_col(
+                                vals, filter.precision, *names_blob
+                            ).decode("ascii", "surrogateescape")
+                        )
+                        continue
                     for i in np.nonzero(vals > 0)[0]:
                         f.write(
                             "%s\t%s\n" % (row_names[ri[i]], fmt % vals[i])

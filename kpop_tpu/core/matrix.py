@@ -131,6 +131,23 @@ class NamedMatrix:
         fmt = "%.{}g".format(precision)
         f.write("\t".join([quote("")] + [quote(c) for c in self.col_names]) + "\n")
         data = np.asarray(self.data)
+        try:
+            from .. import native
+        except Exception:
+            native = None
+        if native is not None and native.available() and self.n_rows:
+            # row-blocked native formatting (quoted names as row prefixes)
+            R = max(1, (32 << 20) // max(1, self.n_cols * 24))
+            for r0 in range(0, self.n_rows, R):
+                rows = slice(r0, min(r0 + R, self.n_rows))
+                f.write(
+                    native.format_tsv(
+                        data[rows],
+                        precision,
+                        [quote(rn) for rn in self.row_names[rows]],
+                    ).decode("ascii", "surrogateescape")
+                )
+            return
         for i, rn in enumerate(self.row_names):
             row = data[i]
             f.write(quote(rn))

@@ -56,7 +56,7 @@ def get_lib():
             return None
         # A stale .so (e.g. from a checkout whose mtime ties the source)
         # may predate newer entry points: verify and rebuild once.
-        if not hasattr(lib, "kpop_encode_batch"):
+        if not hasattr(lib, "kpop_format_tsv"):
             del lib
             if not _build():
                 return None
@@ -64,7 +64,7 @@ def get_lib():
                 lib = ctypes.CDLL(_LIB)
             except OSError:
                 return None
-            if not hasattr(lib, "kpop_encode_batch"):
+            if not hasattr(lib, "kpop_format_tsv"):
                 return None
         lib.kpop_encode_dna.restype = _i64
         lib.kpop_encode_dna.argtypes = [_u8p, _i64, _i8p]
@@ -89,6 +89,17 @@ def get_lib():
         ]
         lib.kpop_pack_2bit_batch.restype = None
         lib.kpop_pack_2bit_batch.argtypes = [_i8p, _i64, _i64, _u8p, _u8p]
+        lib.kpop_format_tsv.restype = _i64
+        lib.kpop_format_tsv.argtypes = [
+            ctypes.POINTER(ctypes.c_double), _i64, _i64, ctypes.c_int32,
+            _u8p, _i64p, _i64p, ctypes.c_int32, ctypes.c_int32,
+            _u8p, _i64, ctypes.c_int32,
+        ]
+        lib.kpop_format_spectra_col.restype = _i64
+        lib.kpop_format_spectra_col.argtypes = [
+            ctypes.POINTER(ctypes.c_double), _i64, ctypes.c_int32,
+            _u8p, _i64p, _i64p, _u8p, _i64,
+        ]
         lib.kpop_spectra_parse.restype = _i64
         lib.kpop_spectra_parse.argtypes = [
             _u8p,
@@ -274,3 +285,88 @@ def count_dense_batch(
         int(canonical), out.ctypes.data_as(_i64p),
     )
     return out
+
+
+def _names_blob(prefixes):
+    """Concatenate prefix strings into (blob u8, off i64, len i64) arrays."""
+    bs = [p.encode() if isinstance(p, str) else p for p in prefixes]
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    offs = np.zeros(len(bs), dtype=np.int64)
+    if len(bs) > 1:
+        np.cumsum(lens[:-1], out=offs[1:])
+    blob = np.frombuffer(b"".join(bs) or b"\x00", dtype=np.uint8)
+    return blob, offs, lens
+
+
+def format_tsv(
+    vals: np.ndarray,
+    precision: int,
+    prefixes=None,
+    lead_sep: bool = False,
+) -> bytes:
+    """Format a [rows, cols] float64 block as TSV bytes (rows end in \\n).
+
+    ``prefixes`` (one string per row: the row name, or name+metadata fields
+    pre-joined with tabs) are emitted before the first value; every value is
+    preceded by '\\t' except the first of a prefix-less, lead_sep-less row.
+    Byte-identical to ``"\\t".join(prefix_parts + ["%.{p}g" % v ...])`` in
+    Python: one C call replaces rows*cols interpreter-loop format calls.
+    """
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    rows, cols = vals.shape
+    if prefixes is not None:
+        blob, offs, lens = _names_blob(prefixes)
+        max_pre = int(lens.max()) if len(lens) else 0
+    else:
+        blob = np.zeros(1, dtype=np.uint8)
+        offs = lens = np.zeros(max(rows, 1), dtype=np.int64)
+        max_pre = 0
+    pv = precision + 12
+    cap = rows * (max_pre + cols * pv + 2) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.kpop_format_tsv(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rows,
+        cols,
+        precision,
+        blob.ctypes.data_as(_u8p),
+        offs.ctypes.data_as(_i64p),
+        lens.ctypes.data_as(_i64p),
+        int(prefixes is not None),
+        int(lead_sep),
+        out.ctypes.data_as(_u8p),
+        cap,
+        os.cpu_count() or 1,
+    )
+    if n < 0:  # pragma: no cover - cap is sized to make this impossible
+        raise RuntimeError("kpop_format_tsv buffer overflow")
+    return out[:n].tobytes()
+
+
+def format_spectra_col(
+    vals: np.ndarray, precision: int, blob, offs, lens
+) -> bytes:
+    """Format the positive entries of one spectrum column as
+    ``<name>\\t<value>\\n`` lines; (blob, offs, lens) from ``_names_blob``
+    over the k-mer names (built once per export, reused per column)."""
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n = len(vals)
+    max_pre = int(lens.max()) if len(lens) else 0
+    pv = precision + 12
+    cap = int(np.count_nonzero(vals > 0)) * (max_pre + pv) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    m = lib.kpop_format_spectra_col(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        precision,
+        blob.ctypes.data_as(_u8p),
+        offs.ctypes.data_as(_i64p),
+        lens.ctypes.data_as(_i64p),
+        out.ctypes.data_as(_u8p),
+        cap,
+    )
+    if m < 0:  # pragma: no cover
+        raise RuntimeError("kpop_format_spectra_col buffer overflow")
+    return out[:m].tobytes()

@@ -142,3 +142,54 @@ def test_encode_batch_matches_numpy_fallback(protein):
     np.testing.assert_array_equal(got, numpy_batch(seqs, length=40))
     got = native.encode_batch(seqs, protein, length=500)  # extra pad
     np.testing.assert_array_equal(got, numpy_batch(seqs, length=500))
+
+
+def test_format_tsv_matches_python_percent_g():
+    """The C text formatter (to_chars + integer fast path) must be
+    byte-identical to Python's "%.Ng" across magnitudes, specials, and
+    precisions — it replaces the interpreter loop in to_table/write_text."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.standard_normal(4000)
+            * 10.0 ** rng.integers(-308, 308, 4000).astype(np.float64),
+            rng.integers(-(10**14), 10**14, 2000).astype(np.float64),
+            np.array(
+                [0.0, -0.0, 1e15, -1e15, 1e15 - 1, 2.0**53, -(2.0**53),
+                 np.inf, -np.inf, np.nan, 5e-324, 1e-308, 0.1, 1 / 3,
+                 1e16, 9.999999999999e14]
+            ),
+        ]
+    )
+    for prec in (1, 6, 12, 15, 17, 40):
+        fmt = "%%.%dg" % prec
+        got = native.format_tsv(vals.reshape(-1, 1), prec, None).decode()
+        assert got == "\n".join(fmt % v for v in vals) + "\n"
+
+
+def test_format_tsv_threaded_path_with_prefixes():
+    """Row counts above the threading threshold still produce in-order,
+    byte-identical output with per-row prefixes."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((20000, 5))
+    prefixes = ["row_%d\tmeta%d" % (i, i % 7) for i in range(len(m))]
+    got = native.format_tsv(m, 12, prefixes).decode()
+    want = "".join(
+        p + "\t" + "\t".join("%.12g" % v for v in row) + "\n"
+        for p, row in zip(prefixes, m)
+    )
+    assert got == want
+
+
+def test_format_spectra_col_drops_nonpositive():
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    vals = np.array([0.0, 1.5, -2.0, 3.0, np.nan, 0.25])
+    names = ["k%d" % i for i in range(len(vals))]
+    blob = native._names_blob(names)
+    got = native.format_spectra_col(vals, 12, *blob).decode()
+    assert got == "k1\t1.5\nk3\t3\nk5\t0.25\n"
