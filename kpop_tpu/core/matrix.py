@@ -156,16 +156,91 @@ class NamedMatrix:
             f.write("\n")
 
     @classmethod
+    def _parse_body_native(cls, raw_bytes: bytes, header) -> "NamedMatrix | None":
+        """Fast path for the TSV body: threaded C float parsing
+        (native.parse_tsv_body) instead of a per-cell ``float()`` loop.
+        Returns None whenever the tolerant Python reader should run
+        instead (no native lib, malformed/ragged lines)."""
+        if not raw_bytes:
+            return None
+        try:
+            from .. import native
+        except Exception:
+            return None
+        if not native.available():
+            return None
+        raw = np.frombuffer(raw_bytes, dtype=np.uint8)
+        nl = np.flatnonzero(raw == 10)
+        starts = np.concatenate([[0], nl + 1])
+        ends = np.concatenate([nl, [len(raw)]])
+        keep = ends > starts
+        starts, ends = starts[keep], ends[keep]
+        if len(starts) == 0:
+            return None
+        n_cols = raw_bytes[starts[0] : ends[0]].count(b"\t")
+        res = native.parse_tsv_body(raw_bytes, starts, ends, n_cols)
+        if res is None:
+            return None
+        vals, names = res
+        row_names = [strip_external_quotes_and_check(n) for n in names]
+        if len(header) == n_cols + 1:
+            col_names = [strip_external_quotes_and_check(c) for c in header[1:]]
+        elif len(header) == n_cols:
+            col_names = [strip_external_quotes_and_check(c) for c in header]
+        else:
+            raise IncompatibleGeometries(
+                f"header has {len(header)} fields for {n_cols} data columns"
+            )
+        return cls(row_names, col_names, vals)
+
+    @classmethod
     def read_text(cls, f: IO[str]) -> "NamedMatrix":
+        # Read bytes straight off the underlying buffer when there is one
+        # (regular files, pipes): skips the utf-8 text layer entirely, so
+        # the native body parser sees the mmap-sized byte run with zero
+        # str<->bytes round trips.  StringIO and exotic streams take the
+        # text path below.
+        buf = getattr(f, "buffer", None)
+        if buf is not None:
+            try:
+                raw_all = buf.read()
+            except Exception:
+                raw_all = None
+            if raw_all is not None:
+                if raw_all == b"":
+                    return cls.empty()
+                cut = raw_all.find(b"\n")
+                header_b = raw_all[:cut] if cut >= 0 else raw_all
+                header = header_b.decode().split("\t")
+                body_b = raw_all[cut + 1 :] if cut >= 0 else b""
+                fast = cls._parse_body_native(body_b, header)
+                if fast is not None:
+                    return fast
+                return cls._read_body_python(
+                    body_b.decode(), header
+                )
         header_line = f.readline()
         if header_line == "":
             return cls.empty()
         header = header_line.rstrip("\n").split("\t")
+        body = f.read()
+        try:
+            body_b = body.encode("ascii")
+        except UnicodeEncodeError:
+            body_b = None
+        if body_b is not None:
+            fast = cls._parse_body_native(body_b, header)
+            if fast is not None:
+                return fast
+        return cls._read_body_python(body, header)
+
+    @classmethod
+    def _read_body_python(cls, body: str, header) -> "NamedMatrix":
         row_names: List[str] = []
         rows: List[np.ndarray] = []
         n_cols = None
-        for line in f:
-            parts = line.rstrip("\n").split("\t")
+        for line in body.split("\n"):
+            parts = line.split("\t")
             if parts == [""]:
                 continue
             row_names.append(strip_external_quotes_and_check(parts[0]))

@@ -100,6 +100,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), _i64, ctypes.c_int32,
             _u8p, _i64p, _i64p, _u8p, _i64,
         ]
+        lib.kpop_parse_tsv.restype = _i64
+        lib.kpop_parse_tsv.argtypes = [
+            _u8p, _i64p, _i64p, _i64, _i64,
+            ctypes.POINTER(ctypes.c_double), _i64p, _i64p, ctypes.c_int32,
+        ]
         lib.kpop_spectra_parse.restype = _i64
         lib.kpop_spectra_parse.argtypes = [
             _u8p,
@@ -370,3 +375,40 @@ def format_spectra_col(
     if m < 0:  # pragma: no cover
         raise RuntimeError("kpop_format_spectra_col buffer overflow")
     return out[:m].tobytes()
+
+
+def parse_tsv_body(data: bytes, starts, ends, cols):
+    """Parse non-empty TSV matrix body lines into (vals [n, cols] f64,
+    names list[str]); returns None if any line needs the tolerant Python
+    reader (malformed float, wrong column count).
+
+    ``starts``/``ends`` are int64 arrays of line byte spans within
+    ``data``.  One C call (threaded over line chunks) replaces a
+    per-cell ``float()`` interpreter loop — the read-side twin of
+    ``format_tsv`` for multi-GB .KPopTwisted.txt-scale tables."""
+    lib = get_lib()
+    raw = np.frombuffer(data or b"\x00", dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    n = len(starts)
+    vals = np.empty((n, cols), dtype=np.float64)
+    name_off = np.empty(n, dtype=np.int64)
+    name_len = np.empty(n, dtype=np.int64)
+    ret = lib.kpop_parse_tsv(
+        raw.ctypes.data_as(_u8p),
+        starts.ctypes.data_as(_i64p),
+        ends.ctypes.data_as(_i64p),
+        n,
+        cols,
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        name_off.ctypes.data_as(_i64p),
+        name_len.ctypes.data_as(_i64p),
+        os.cpu_count() or 1,
+    )
+    if ret < 0:
+        return None
+    names = [
+        data[name_off[i] : name_off[i] + name_len[i]].decode()
+        for i in range(n)
+    ]
+    return vals, names

@@ -114,9 +114,74 @@ int64_t format_tsv_rows(const double* vals, int64_t r0, int64_t r1,
   return p - dst;
 }
 
+// Parse one TSV matrix body line: <name> ('\t' <float>)*cols.
+// Numeric fields may be wrapped in double quotes and padded with spaces
+// (Python's float() tolerates both; so does the reference's OCaml reader).
+// Returns 0 on success, -1 on malformed float / wrong column count.
+int parse_tsv_line(const uint8_t* buf, int64_t pos, int64_t end, int64_t cols,
+                   double* out, int64_t* nm_off, int64_t* nm_len) {
+  int64_t ne = pos;
+  while (ne < end && buf[ne] != '\t') ++ne;
+  *nm_off = pos;
+  *nm_len = ne - pos;
+  int64_t p = ne;
+  for (int64_t j = 0; j < cols; ++j) {
+    if (p >= end || buf[p] != '\t') return -1;
+    ++p;
+    while (p < end && (buf[p] == ' ' || buf[p] == '"')) ++p;
+    if (p < end && buf[p] == '+') ++p;
+    auto r = std::from_chars((const char*)buf + p, (const char*)buf + end,
+                             out[j]);
+    if (r.ec != std::errc()) return -1;
+    p = r.ptr - (const char*)buf;
+    while (p < end &&
+           (buf[p] == '"' || buf[p] == ' ' || buf[p] == '\r'))
+      ++p;
+  }
+  return p == end ? 0 : -1;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Parse the body of a TSV named matrix (all lines after the header) into a
+// dense row-major [rows, cols] float64 block plus per-row name spans.
+// line_start/line_end index the (non-empty) body lines within buf.
+// Multithreaded over line ranges (each line writes its own row).
+// Returns the number of rows parsed, or -(line_index+1) for the first
+// malformed line (caller falls back to the tolerant Python reader).
+int64_t kpop_parse_tsv(const uint8_t* buf, const int64_t* line_start,
+                       const int64_t* line_end, int64_t n_lines, int64_t cols,
+                       double* vals, int64_t* name_off, int64_t* name_len,
+                       int32_t n_threads) {
+  int64_t T = n_threads > 1 ? std::min<int64_t>(n_threads, n_lines / 4096) : 1;
+  if (T <= 1) {
+    for (int64_t i = 0; i < n_lines; ++i)
+      if (parse_tsv_line(buf, line_start[i], line_end[i], cols,
+                         vals + i * cols, name_off + i, name_len + i))
+        return -(i + 1);
+    return n_lines;
+  }
+  std::vector<int64_t> errs(T, 0);
+  std::vector<std::thread> ts;
+  const int64_t step = (n_lines + T - 1) / T;
+  for (int64_t t = 0; t < T; ++t) {
+    ts.emplace_back([&, t] {
+      int64_t l0 = t * step, l1 = std::min(n_lines, l0 + step);
+      for (int64_t i = l0; i < l1; ++i)
+        if (parse_tsv_line(buf, line_start[i], line_end[i], cols,
+                           vals + i * cols, name_off + i, name_len + i)) {
+          errs[t] = -(i + 1);
+          return;
+        }
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (int64_t t = 0; t < T; ++t)
+    if (errs[t]) return errs[t];
+  return n_lines;
+}
 
 // Format a [rows, cols] float64 block as TSV text.  Per row:
 //   [prefix bytes] (sep '\t' before each value; suppressed before the first

@@ -193,3 +193,55 @@ def test_format_spectra_col_drops_nonpositive():
     blob = native._names_blob(names)
     got = native.format_spectra_col(vals, 12, *blob).decode()
     assert got == "k1\t1.5\nk3\t3\nk5\t0.25\n"
+
+
+def test_read_text_native_matches_python_reader():
+    """The threaded C TSV parser must agree exactly with the per-cell
+    Python reader (file path and StringIO path)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    import io as _io
+    from kpop_tpu.core.matrix import NamedMatrix
+
+    rng = np.random.default_rng(11)
+    data = np.concatenate(
+        [
+            rng.standard_normal((50, 7)),
+            rng.integers(0, 1000, (50, 7)).astype(np.float64),
+            rng.standard_normal((50, 7)) * 1e-200,
+        ]
+    )
+    m = NamedMatrix(
+        ["row %d" % i for i in range(150)],
+        ["c%d" % j for j in range(7)],
+        data,
+    )
+    buf = _io.StringIO()
+    m.write_text(buf)
+    text = buf.getvalue()
+    # StringIO path (no .buffer attribute)
+    m2 = NamedMatrix.read_text(_io.StringIO(text))
+    # file path (buffer fast path)
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as td:
+        p = _os.path.join(td, "m.txt")
+        with open(p, "w") as f:
+            f.write(text)
+        with open(p) as f:
+            m3 = NamedMatrix.read_text(f)
+    for got in (m2, m3):
+        assert got.row_names == m.row_names
+        assert got.col_names == m.col_names
+        assert np.array_equal(np.round(got.data, 9), np.round(data, 9))
+
+
+def test_read_text_ragged_rows_still_raise():
+    """A ragged body makes the native parser bail; the tolerant Python
+    reader then raises IncompatibleGeometries exactly as before."""
+    import io as _io
+    from kpop_tpu.core.matrix import IncompatibleGeometries, NamedMatrix
+
+    text = '""\t"a"\t"b"\n"r1"\t1\t2\n"r2"\t3\n'
+    with pytest.raises(IncompatibleGeometries):
+        NamedMatrix.read_text(_io.StringIO(text))
