@@ -485,11 +485,15 @@ def _supervise() -> int:
 
     here = os.path.abspath(__file__)
     attempts = [
-        (720, {}),
-        (480, {}),
+        (900, {}),
+        # tunnel weather varies by many minutes: retry once with a thinner
+        # serving phase before surrendering to the labelled CPU fallback
+        (900, {"KPOP_BENCH_BATCHES": "6"}),
         (600, {"KPOP_PLATFORM": "cpu", "KPOP_BENCH_BATCHES": "2"}),
     ]
-    for timeout_s, extra_env in attempts:
+    for i, (timeout_s, extra_env) in enumerate(attempts):
+        if i:
+            time.sleep(30)  # a killed child may hold the chip briefly
         env = dict(os.environ, KPOP_BENCH_CHILD="1", **extra_env)
         try:
             res = subprocess.run(
