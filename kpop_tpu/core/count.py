@@ -106,9 +106,25 @@ class SpectrumAccumulator:
 
 def _dump(acc: SpectrumAccumulator, out: IO[str]) -> None:
     codes, counts = acc.nonzero()
-    spectra_io.write_spectrum_entries(
-        out, acc.space.codes_to_hex(codes), counts
-    )
+    emitted = False
+    try:
+        from .. import native
+    except ImportError:
+        native = None
+    if native is not None and native.available() and len(codes):
+        # one C call instead of a per-entry "%0*x / %d" loop — the
+        # KPopCount output stream is the pipeline's hot producer
+        # (reference bin/KPopCount.ml:46 streams via OCaml printf)
+        blob = native.format_spectra_entries(
+            codes, counts, acc.space.hex_width
+        )
+        if blob is not None:
+            out.write(blob.decode("ascii"))
+            emitted = True
+    if not emitted:
+        spectra_io.write_spectrum_entries(
+            out, acc.space.codes_to_hex(codes), counts
+        )
     acc.clear()
 
 

@@ -100,6 +100,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), _i64, ctypes.c_int32,
             _u8p, _i64p, _i64p, _u8p, _i64,
         ]
+        lib.kpop_format_spectra_entries.restype = _i64
+        lib.kpop_format_spectra_entries.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_double),
+            _i64, ctypes.c_int32, _u8p, _i64,
+        ]
         lib.kpop_parse_tsv.restype = _i64
         lib.kpop_parse_tsv.argtypes = [
             _u8p, _i64p, _i64p, _i64, _i64,
@@ -412,3 +417,26 @@ def parse_tsv_body(data: bytes, starts, ends, cols):
         for i in range(n)
     ]
     return vals, names
+
+
+def format_spectra_entries(codes, counts, hex_width: int):
+    """Format spectrum entry lines ``<hex>\\t<count>\\n`` (zero-padded hex,
+    integral counts as integers) in one C call; returns bytes, or None if a
+    code exceeds hex_width (caller falls back to the Python writer)."""
+    lib = get_lib()
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.float64)
+    n = len(codes)
+    cap = n * (hex_width + 32) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    m = lib.kpop_format_spectra_entries(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        hex_width,
+        out.ctypes.data_as(_u8p),
+        cap,
+    )
+    if m < 0:
+        return None
+    return out[:m].tobytes()

@@ -258,6 +258,49 @@ int64_t kpop_format_spectra_col(const double* vals, int64_t n,
   return p - out;
 }
 
+// Format k-mer spectrum entry lines "<hex>\t<count>\n" (the KPopCount
+// output stream, reference bin/KPopCount.ml:46): hex zero-padded to
+// hex_width, integral counts as plain integers, anything else as %.15g —
+// matching io/spectra.write_spectrum_entries byte for byte.
+// Returns bytes written; -1 on insufficient cap or a code wider than
+// hex_width (caller falls back to the Python writer).
+int64_t kpop_format_spectra_entries(const uint64_t* codes,
+                                    const double* counts, int64_t n,
+                                    int32_t hex_width, char* out,
+                                    int64_t cap) {
+  static const char hexd[] = "0123456789abcdef";
+  char* p = out;
+  char* end = out + cap;
+  for (int64_t i = 0; i < n; ++i) {
+    if (end - p < hex_width + 32) return -1;
+    uint64_t c = codes[i];
+    for (int32_t j = hex_width - 1; j >= 0; --j) {
+      p[j] = hexd[c & 15];
+      c >>= 4;
+    }
+    if (c) return -1;  // code wider than hex_width: Python would not pad
+    p += hex_width;
+    *p++ = '\t';
+    double v = counts[i];
+    if (v == (double)(int64_t)v && std::fabs(v) < 9.2e18) {
+      int64_t iv = (int64_t)v;
+      uint64_t a = iv < 0 ? (uint64_t)(-iv) : (uint64_t)iv;
+      char tmp[24];
+      int nd = 0;
+      do {
+        tmp[nd++] = (char)('0' + a % 10);
+        a /= 10;
+      } while (a);
+      if (iv < 0) *p++ = '-';
+      while (nd) *p++ = tmp[--nd];
+    } else {
+      p = format_g(p, v, 15);
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 // Lint + encode DNA bytes into int8 codes; returns codes written (<= n).
 int64_t kpop_encode_dna(const uint8_t* in, int64_t n, int8_t* out) {
   int64_t m = 0;

@@ -245,3 +245,32 @@ def test_read_text_ragged_rows_still_raise():
     text = '""\t"a"\t"b"\n"r1"\t1\t2\n"r2"\t3\n'
     with pytest.raises(IncompatibleGeometries):
         NamedMatrix.read_text(_io.StringIO(text))
+
+
+def test_format_spectra_entries_matches_python_writer():
+    """The C spectrum-entry formatter must match io.spectra's Python
+    writer byte for byte (zero-padded hex, %d integers, %.15g floats)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    import io as _io
+    from kpop_tpu.io import spectra as spectra_io
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 16**5, 3000).astype(np.uint64)
+    for counts in (
+        rng.integers(1, 10**9, 3000).astype(np.int64),
+        rng.integers(1, 100, 3000) * 0.125,
+    ):
+        blob = native.format_spectra_entries(codes, counts, 5)
+        buf = _io.StringIO()
+        spectra_io.write_spectrum_entries(
+            buf, ["%05x" % int(c) for c in codes], counts
+        )
+        assert blob.decode() == buf.getvalue()
+    # a code wider than hex_width must refuse (Python would print it wider)
+    assert (
+        native.format_spectra_entries(
+            np.array([16**5], np.uint64), np.ones(1), 5
+        )
+        is None
+    )
