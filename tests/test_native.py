@@ -274,3 +274,43 @@ def test_format_spectra_entries_matches_python_writer():
         )
         is None
     )
+
+
+def test_read_text_specials_and_fuzz_parity():
+    """Randomized tables (mixed magnitudes, integers, inf/nan) must parse
+    identically through the native and Python readers."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    import io as _io
+    from kpop_tpu.core import matrix as matrix_mod
+    from kpop_tpu.core.matrix import NamedMatrix
+
+    rng = np.random.default_rng(23)
+    data = rng.standard_normal((40, 9)) * 10.0 ** rng.integers(
+        -250, 250, (40, 9)
+    ).astype(np.float64)
+    data[3, 4] = np.inf
+    data[5, 1] = -np.inf
+    data[7, 0] = np.nan
+    data[9, :] = rng.integers(0, 2**40, 9).astype(np.float64)
+    m = NamedMatrix(
+        ["r%d" % i for i in range(40)], ["c%d" % j for j in range(9)], data
+    )
+    buf = _io.StringIO()
+    m.write_text(buf)
+    text = buf.getvalue()
+    native_m = NamedMatrix.read_text(_io.StringIO(text))
+    orig = matrix_mod.NamedMatrix._parse_body_native
+    try:
+        matrix_mod.NamedMatrix._parse_body_native = classmethod(
+            lambda cls, b, h: None
+        )
+        python_m = NamedMatrix.read_text(_io.StringIO(text))
+    finally:
+        matrix_mod.NamedMatrix._parse_body_native = orig
+    assert native_m.row_names == python_m.row_names
+    assert native_m.col_names == python_m.col_names
+    a, b = native_m.data, python_m.data
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert np.array_equal(a[~both_nan], b[~both_nan])
+    assert np.isnan(a[7, 0]) and np.isinf(a[3, 4])
