@@ -726,7 +726,7 @@ class CounterDB:
                         f.write(
                             fmt_native.format_tsv(
                                 slab.T, filter.precision, prefixes
-                            ).decode("ascii", "surrogateescape")
+                            ).decode("utf-8", "surrogateescape")
                         )
                         continue
                     for j, col_idx in enumerate(ci_chunk):
@@ -772,7 +772,7 @@ class CounterDB:
                         f.write(
                             fmt_native.format_tsv(
                                 blk, filter.precision, prefixes
-                            ).decode("ascii", "surrogateescape")
+                            ).decode("utf-8", "surrogateescape")
                         )
                         continue
                     for i, row_i in enumerate(ridx):
@@ -820,7 +820,7 @@ class CounterDB:
                         f.write(
                             fmt_native.format_spectra_col(
                                 vals, filter.precision, *names_blob
-                            ).decode("ascii", "surrogateescape")
+                            ).decode("utf-8", "surrogateescape")
                         )
                         continue
                     for i in np.nonzero(vals > 0)[0]:

@@ -145,7 +145,7 @@ class NamedMatrix:
                         data[rows],
                         precision,
                         [quote(rn) for rn in self.row_names[rows]],
-                    ).decode("ascii", "surrogateescape")
+                    ).decode("utf-8", "surrogateescape")
                 )
             return
         for i, rn in enumerate(self.row_names):

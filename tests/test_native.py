@@ -314,3 +314,20 @@ def test_read_text_specials_and_fuzz_parity():
     both_nan = np.isnan(a) & np.isnan(b)
     assert np.array_equal(a[~both_nan], b[~both_nan])
     assert np.isnan(a[7, 0]) and np.isinf(a[3, 4])
+
+
+def test_to_table_utf8_names_survive_native_formatter(tmp_path):
+    """Non-ASCII sample names / metadata must round-trip through the
+    native block formatter exactly as through the Python writer."""
+    from kpop_tpu.core.counter_db import CounterDB, TableFilter
+
+    db = CounterDB(
+        row_names=["aa", "bb"],
+        col_names=["samplé_1", "пример_2"],
+        counts=np.array([[1, 2], [3, 4]], dtype=np.int32),
+    )
+    out = tmp_path / "t"
+    db.to_table(str(out), TableFilter())
+    text = (tmp_path / "t.KPopCounter.txt").read_text()
+    assert "samplé_1" in text and "пример_2" in text
+    assert text.splitlines()[1] == "aa\t1\t2"
