@@ -122,6 +122,12 @@ def main(argv=None) -> int:
         "<stdout>",
     )
     p.sep("Miscellaneous")
+    # The reference declares (but comments out) -t/-T for KPopCount
+    # (bin/KPopCount.ml:188-194); accepted here as an advisory no-op like
+    # the other three CLIs so shared workflow scripts keep working.
+    p.opt(["-t", "-T", "--threads"], "<computing_threads>",
+          ["number of concurrent computing threads (advisory; XLA/BLAS decide)"],
+          lambda a: a.get_int_pos())
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
           lambda a: state.update(verbose=True))
     p.opt(["-V", "--version"], None, ["print version and exit"],

@@ -198,19 +198,36 @@ class NamedMatrix:
         # Read bytes straight off the underlying buffer when there is one
         # (regular files, pipes): skips the utf-8 text layer entirely, so
         # the native body parser sees the mmap-sized byte run with zero
-        # str<->bytes round trips.  StringIO and exotic streams take the
-        # text path below.
+        # str<->bytes round trips.  Only safe on a FRESH stream: once the
+        # text layer has read anything it holds look-ahead bytes that
+        # buffer.read() would silently skip, so seekable streams must be
+        # at position 0 and unseekable ones (pipes: tell() raises) fall
+        # through to the text path.  StringIO and exotic streams take the
+        # text path below too.
         buf = getattr(f, "buffer", None)
         if buf is not None:
             try:
-                raw_all = buf.read()
-            except Exception:
-                raw_all = None
+                fresh = f.tell() == 0
+            except (OSError, ValueError):
+                fresh = False
+            raw_all = None
+            if fresh:
+                try:
+                    raw_all = buf.read()
+                except Exception:
+                    raw_all = None
             if raw_all is not None:
                 if raw_all == b"":
                     return cls.empty()
                 cut = raw_all.find(b"\n")
                 header_b = raw_all[:cut] if cut >= 0 else raw_all
+                if header_b.endswith(b"\r"):
+                    # CRLF file: the text layer used to translate \r\n;
+                    # the bytes path normalizes once so the body parsers
+                    # (native and Python) see plain LF lines
+                    raw_all = raw_all.replace(b"\r\n", b"\n")
+                    cut = raw_all.find(b"\n")
+                    header_b = raw_all[:cut] if cut >= 0 else raw_all
                 header = header_b.decode().split("\t")
                 body_b = raw_all[cut + 1 :] if cut >= 0 else b""
                 fast = cls._parse_body_native(body_b, header)

@@ -298,16 +298,11 @@ def summarize_distance_row(
     Median/MAD use the element at position n//2 of the sorted values.
     """
     n = len(row)
-    mean = row.mean() if n else 0.0
-    stddev = np.sqrt(((row - mean) ** 2).sum() / (n - 1)) if n > 1 else 0.0
-    srt = np.sort(row)
-    median = srt[n // 2] if n else 0.0
-    dd = np.sort(np.abs(row - median))
-    mad = dd[n // 2] if n else 0.0
+    mean, stddev, median, mad = mean_std_median_mad(row)
     order = np.lexsort((np.arange(n), row))  # stable: by distance, then index
     eff_len = 0
     if n and req_len > 0:
-        kth = srt[min(req_len, n) - 1]
+        kth = np.sort(row)[min(req_len, n) - 1]
         eff_len = int((row <= kth).sum())
     parts = [
         row_name,
@@ -446,10 +441,15 @@ def summarize_dmatrix(m: KPopMatrix, keep_at_most: int | None) -> List[str]:
 
 def mean_std_median_mad(row: np.ndarray) -> Tuple[float, float, float, float]:
     n = len(row)
-    mean = row.mean() if n else 0.0
-    stddev = np.sqrt(((row - mean) ** 2).sum() / (n - 1)) if n > 1 else 0.0
-    srt = np.sort(row)
-    median = srt[n // 2] if n else 0.0
-    dd = np.sort(np.abs(row - median))
-    mad = dd[n // 2] if n else 0.0
+    # inf distances (--distance-mode infinity) make inf - inf = nan here on
+    # purpose: the digest of an all-inf row is nan, printed as such
+    with np.errstate(invalid="ignore"):
+        mean = row.mean() if n else 0.0
+        stddev = (
+            np.sqrt(((row - mean) ** 2).sum() / (n - 1)) if n > 1 else 0.0
+        )
+        srt = np.sort(row)
+        median = srt[n // 2] if n else 0.0
+        dd = np.sort(np.abs(row - median))
+        mad = dd[n // 2] if n else 0.0
     return mean, stddev, median, mad

@@ -28,7 +28,10 @@ _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        # -pthread: kpop_native.cpp spawns std::thread; on toolchains
+        # older than glibc 2.34 thread construction throws at runtime
+        # without it (inside a ctypes call, killing the process)
+        "g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
         "-o", _LIB, _SRC,
     ]
     try:

@@ -65,7 +65,10 @@ const ProtTables kProt;
 // precisions 1..40 at build time of this design) but ~2.7x faster than
 // glibc snprintf, locale-free.
 inline char* format_g(char* p, double v, int precision) {
-  if (v == (double)(int64_t)v && std::fabs(v) < 1e15) {
+  // range guards BEFORE the float->int cast: for inf/NaN/|v|>=2^63 the
+  // conversion is UB (inf/NaN table cells are legal and round-tripped by
+  // the fuzz parity test, so this path is exercised routinely)
+  if (std::isfinite(v) && std::fabs(v) < 1e15 && v == (double)(int64_t)v) {
     int64_t iv = (int64_t)v;
     uint64_t a = iv < 0 ? (uint64_t)(-iv) : (uint64_t)iv;
     char tmp[24];
@@ -128,15 +131,28 @@ int parse_tsv_line(const uint8_t* buf, int64_t pos, int64_t end, int64_t cols,
   for (int64_t j = 0; j < cols; ++j) {
     if (p >= end || buf[p] != '\t') return -1;
     ++p;
-    while (p < end && (buf[p] == ' ' || buf[p] == '"')) ++p;
-    if (p < end && buf[p] == '+') ++p;
+    // Accept exactly a subset of what the Python fallback
+    // float(field.strip('"')) accepts, so no field parses natively that
+    // Python would reject: quotes only at the field's extreme ends (at
+    // most one here; more fall back), space padding only inside them, an
+    // explicit '+' not followed by another sign (from_chars would accept
+    // "+-5" as -5), and no "nan(n-char-seq)" forms.
+    if (p < end && buf[p] == '"') ++p;
+    while (p < end && buf[p] == ' ') ++p;
+    if (p < end && buf[p] == '+') {
+      ++p;
+      if (p < end && (buf[p] == '+' || buf[p] == '-')) return -1;
+    }
     auto r = std::from_chars((const char*)buf + p, (const char*)buf + end,
                              out[j]);
     if (r.ec != std::errc()) return -1;
+    // from_chars accepts "nan(n-char-seq)"; Python float() does not
+    if (std::isnan(out[j]))
+      for (const char* q = (const char*)buf + p; q < r.ptr; ++q)
+        if (*q == '(') return -1;
     p = r.ptr - (const char*)buf;
-    while (p < end &&
-           (buf[p] == '"' || buf[p] == ' ' || buf[p] == '\r'))
-      ++p;
+    while (p < end && buf[p] == ' ') ++p;
+    if (p < end && buf[p] == '"') ++p;
   }
   return p == end ? 0 : -1;
 }
@@ -282,7 +298,7 @@ int64_t kpop_format_spectra_entries(const uint64_t* codes,
     p += hex_width;
     *p++ = '\t';
     double v = counts[i];
-    if (v == (double)(int64_t)v && std::fabs(v) < 9.2e18) {
+    if (std::isfinite(v) && std::fabs(v) < 9.2e18 && v == (double)(int64_t)v) {
       int64_t iv = (int64_t)v;
       uint64_t a = iv < 0 ? (uint64_t)(-iv) : (uint64_t)iv;
       char tmp[24];

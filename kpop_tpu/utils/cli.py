@@ -52,8 +52,28 @@ class Args:
     def get(self) -> str:
         return self._next()
 
+    def _next_int(self) -> int:
+        raw = self._next()
+        try:
+            return int(raw)
+        except ValueError:
+            raise ParseError(
+                f"Option '{self.current_opt}': expected an integer, "
+                f"found '{raw}'"
+            ) from None
+
+    def _next_float(self) -> float:
+        raw = self._next()
+        try:
+            return float(raw)
+        except ValueError:
+            raise ParseError(
+                f"Option '{self.current_opt}': expected a number, "
+                f"found '{raw}'"
+            ) from None
+
     def get_int_pos(self) -> int:
-        v = int(self._next())
+        v = self._next_int()
         if v <= 0:
             raise ParseError(
                 f"Option '{self.current_opt}': parameter must be positive"
@@ -61,7 +81,7 @@ class Args:
         return v
 
     def get_int_non_neg(self) -> int:
-        v = int(self._next())
+        v = self._next_int()
         if v < 0:
             raise ParseError(
                 f"Option '{self.current_opt}': parameter must be non-negative"
@@ -69,7 +89,7 @@ class Args:
         return v
 
     def get_float_non_neg(self) -> float:
-        v = float(self._next())
+        v = self._next_float()
         if v < 0.0:
             raise ParseError(
                 f"Option '{self.current_opt}': parameter must be non-negative"
@@ -77,7 +97,7 @@ class Args:
         return v
 
     def get_float_fraction(self) -> float:
-        v = float(self._next())
+        v = self._next_float()
         if not (0.0 <= v <= 1.0):
             raise ParseError(
                 f"Option '{self.current_opt}': parameter must be in [0,1]"

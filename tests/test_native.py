@@ -331,3 +331,71 @@ def test_to_table_utf8_names_survive_native_formatter(tmp_path):
     text = (tmp_path / "t.KPopCounter.txt").read_text()
     assert "samplé_1" in text and "пример_2" in text
     assert text.splitlines()[1] == "aa\t1\t2"
+
+
+def test_read_text_partially_consumed_stream(tmp_path):
+    """read_text on a stream that was already read from must not silently
+    lose the text layer's look-ahead (the bytes fast path requires a fresh
+    stream; consumed streams take the text path)."""
+    from kpop_tpu.core.matrix import NamedMatrix
+
+    p = tmp_path / "m.txt"
+    rows = ['""\t"a"\t"b"'] + ['"r%d"\t%d\t%d' % (i, i, i + 1) for i in range(500)]
+    p.write_text("\n".join(rows) + "\n")
+    with open(p) as f:
+        first = f.readline()
+        assert first.startswith('""')
+        m = NamedMatrix.read_text(f)
+    # the real header was consumed, so r0's line becomes the header and
+    # the remaining 499 rows are all parsed (the bug: an EMPTY matrix,
+    # because buffer.read() skipped the text layer's look-ahead)
+    assert m.n_rows == 499
+    assert m.row_names[0] == "r1" and m.row_names[-1] == "r499"
+
+
+def test_read_text_crlf(tmp_path):
+    """CRLF files must keep parsing through the bytes fast path."""
+    from kpop_tpu.core.matrix import NamedMatrix
+
+    p = tmp_path / "m.txt"
+    body = '""\t"a"\t"b"\r\n"r1"\t1\t2\r\n"r2"\t3.5\t-4\r\n'
+    p.write_bytes(body.encode())
+    with open(p) as f:
+        m = NamedMatrix.read_text(f)
+    assert m.col_names == ["a", "b"]
+    assert m.row_names == ["r1", "r2"]
+    np.testing.assert_allclose(m.data, [[1, 2], [3.5, -4]])
+
+
+@pytest.mark.parametrize("bad", ["+-5", "nan(ind)", "++3", "+ 5"])
+def test_parse_tsv_rejects_python_invalid_floats(tmp_path, bad):
+    """Fields Python float() rejects must not silently parse natively:
+    the native parser bails and the Python reader raises as before."""
+    from kpop_tpu.core.matrix import NamedMatrix
+
+    with pytest.raises(ValueError):
+        float(bad)  # the contract under test
+    p = tmp_path / "m.txt"
+    p.write_text('""\t"a"\t"b"\n"r1"\t1\t%s\n' % bad)
+    with pytest.raises(ValueError):
+        with open(p) as f:
+            NamedMatrix.read_text(f)
+
+
+def test_parse_tsv_still_accepts_python_valid_floats(tmp_path):
+    """Quoted / space-padded / signed / special fields Python accepts must
+    keep parsing (either natively or via fallback) with the same values."""
+    from kpop_tpu.core.matrix import NamedMatrix
+
+    p = tmp_path / "m.txt"
+    p.write_text(
+        '""\t"a"\t"b"\t"c"\n'
+        '"r1"\t"1.5"\t +2.5 \t-inf\n'
+        '"r2"\tnan\t"1e-300"\t3\n'
+    )
+    with open(p) as f:
+        m = NamedMatrix.read_text(f)
+    assert m.data[0][0] == 1.5 and m.data[0][1] == 2.5
+    assert np.isneginf(m.data[0][2])
+    assert np.isnan(m.data[1][0])
+    assert m.data[1][1] == 1e-300 and m.data[1][2] == 3
