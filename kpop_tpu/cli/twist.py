@@ -118,7 +118,7 @@ def main(argv=None) -> int:
         seed=state["seed"],
     )
     twister, twisted, twisted_kmers = twist_counter_db(
-        db, params, backend=state["backend"]
+        db, params, backend=state["backend"], verbose=state["verbose"]
     )
     twister.to_binary(state["output"])
     twisted.to_binary(state["output"])

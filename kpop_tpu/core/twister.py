@@ -295,6 +295,7 @@ def twist_counter_db(
     db: CounterDB,
     params: TwistParameters | None = None,
     backend: str = "host",
+    verbose: bool = False,
 ) -> Tuple[Twister, KPopMatrix, KPopMatrix]:
     """Train a twister from a counts DB: the whole ``src/KPopTwist`` pipeline
     (export -> filter -> sample -> threshold -> normalize -> CA) fused in
@@ -345,7 +346,7 @@ def twist_counter_db(
 
         mesh = make_mesh()
         coords, inertia, tw, sv = ca_fit_sharded(
-            mesh, table, col_weights=col_w
+            mesh, table, col_weights=col_w, verbose=verbose
         )
         res = ca_mod.CAResult(
             sample_coords=coords.astype(np.float64),

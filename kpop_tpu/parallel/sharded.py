@@ -72,7 +72,7 @@ def _host(arr) -> np.ndarray:
 # ---------------- CA ----------------
 
 
-def _gram_dd_local(hi, lo, n_blocks: int = 16, axes: tuple = ()):
+def _gram_dd_local(hi, lo, n_blocks: int = 16, axes: tuple = (), init=None):
     """Near-float64 ``S^T S`` from two float32 limbs of S (hi + lo == S to
     f64 accuracy), on one shard:
 
@@ -85,6 +85,9 @@ def _gram_dd_local(hi, lo, n_blocks: int = 16, axes: tuple = ()):
     Returns ``(acc, comp)``; the caller combines ``acc - comp`` in float64.
     Measured on TPU v5e at [1M, 16]: 6.8e-8 max relative error vs 9.1e-6
     for a naive f32 dot, at ~2x the matmul cost (docs/PALLAS.md sidecar).
+
+    ``init``: optional (acc, comp) carry from previous row blocks — the
+    HBM-budgeted streaming path chains the compensated sum across blocks.
     """
     K, ns = hi.shape
     blk = max(1, -(-K // n_blocks))
@@ -106,10 +109,14 @@ def _gram_dd_local(hi, lo, n_blocks: int = 16, axes: tuple = ()):
         comp = (t - acc) - y
         return (t, comp), None
 
-    init = (jnp.zeros((ns, ns), jnp.float32), jnp.zeros((ns, ns), jnp.float32))
-    if axes:
-        # inside shard_map the carry must be marked device-varying
-        init = tuple(jax.lax.pcast(x, axes, to="varying") for x in init)
+    if init is None:
+        init = (
+            jnp.zeros((ns, ns), jnp.float32),
+            jnp.zeros((ns, ns), jnp.float32),
+        )
+        if axes:
+            # inside shard_map the carry must be marked device-varying
+            init = tuple(jax.lax.pcast(x, axes, to="varying") for x in init)
     (acc, comp), _ = jax.lax.scan(body, init, (hb, lb))
     return acc, comp
 
@@ -160,7 +167,8 @@ def _ca_math(table, n_dims: int):
 
 
 def _gram_dd_from_compact_local(
-    x, ah, al, uh, ul, bh, bl, vh, vl, n_blocks: int = 16, axes: tuple = ()
+    x, ah, al, uh, ul, bh, bl, vh, vl,
+    n_blocks: int = 16, axes: tuple = (), init=None,
 ):
     """Like :func:`_gram_dd_local`, but the two residual limbs are
     RECONSTRUCTED on device from a compact exact table shard ``x`` and
@@ -200,9 +208,13 @@ def _gram_dd_from_compact_local(
         comp = (t - acc) - y
         return (t, comp), None
 
-    init = (jnp.zeros((ns, ns), jnp.float32), jnp.zeros((ns, ns), jnp.float32))
-    if axes:
-        init = tuple(jax.lax.pcast(t, axes, to="varying") for t in init)
+    if init is None:
+        init = (
+            jnp.zeros((ns, ns), jnp.float32),
+            jnp.zeros((ns, ns), jnp.float32),
+        )
+        if axes:
+            init = tuple(jax.lax.pcast(t, axes, to="varying") for t in init)
     (acc, comp), _ = jax.lax.scan(body, init, (xb, rb))
     return acc, comp
 
@@ -355,6 +367,328 @@ def _compact_exact_cast(table: np.ndarray):
     return kind_arr.astype(np.float32), "f32"
 
 
+#: stats of the last HBM-budgeted streamed CA fit (None when the resident
+#: path ran): wire kind, block geometry, budget, per-device block bytes.
+LAST_CA_STREAM: dict | None = None
+
+
+def _hbm_budget(mesh: Mesh) -> int | None:
+    """Per-device CA residency budget in bytes.
+
+    ``KPOP_CA_HBM_BYTES`` overrides; otherwise 60% of the device's reported
+    memory limit when the backend exposes one (TPU), else None (unbudgeted
+    — CPU meshes).  The reference's CA is bounded only by host RAM
+    (src/KPopTwist:95-96, R ``ca()``); this is the device-side equivalent
+    of that bound, turning would-be OOMs at the k=12 flagship table
+    (~16.7M k-mers x 1000 samples, README.md:530) into streamed fits.
+    """
+    env = os.environ.get("KPOP_CA_HBM_BYTES")
+    if env:
+        try:
+            val = int(float(env))
+        except ValueError:
+            val = 0
+        return val if val > 0 else None
+    try:
+        stats = mesh.devices.flat[0].memory_stats()
+        limit = (stats or {}).get("bytes_limit")
+        if limit:
+            return int(limit * 0.6)
+    except Exception:
+        pass
+    return None
+
+
+def _stream_block_rows(
+    budget_dev: int, ns: int, d: int, wire_bytes: int, n_shards: int
+) -> int:
+    """Rows per streamed block such that per-device residency stays within
+    ``budget_dev``: two blocks in flight (upload of b+1 overlaps compute of
+    b) plus fixed carries/vectors plus scan-temporary headroom."""
+    # fixed per device: up to 3 live (acc, comp) carries at [ns, ns] f32,
+    # the replicated [ns, d] f32 V/sigma factor, dd column vectors
+    fixed = 3 * 2 * ns * ns * 4 + ns * d * 4 + 4 * ns * 4
+    # per row, spread over all shards: the wire block, the [*, d] f32 phi
+    # output, 4 f32 dd row-vector slices, ~ns/2 B of live scan temporaries
+    # (the h/l limb pair of one 1/16 sub-block)
+    per_row = (ns * wire_bytes + 4 * d + 16 + ns // 2 + 1) / n_shards
+    avail = max(0.0, (budget_dev - fixed) * 0.45)
+    rows_dev = int(avail / per_row)
+    if rows_dev < 1:
+        import sys
+
+        sys.stderr.write(
+            "ca_fit_sharded: KPOP_CA_HBM_BYTES=%d is below the minimum "
+            "streamable block (~%d B/device); clamping to %d rows/block\n"
+            % (budget_dev, int(fixed + per_row * n_shards), n_shards)
+        )
+        rows_dev = 1
+    return rows_dev * n_shards
+
+
+def _gram_compact_carry_fn_cached(mesh: Mesh, kind: str):
+    """Jitted per-shard compact dd-Gram with an explicit (acc, comp) carry:
+    the streamed path chains the compensated sum across row blocks."""
+    key = ("gramc-carry", kind, _mesh_key(mesh))
+    if key not in _CA_FN_CACHE:
+
+        def local(x, ah, al, uh, ul, bh, bl, vh, vl, acc, comp):
+            acc2, comp2 = _gram_dd_from_compact_local(
+                x, ah, al, uh, ul, bh, bl, vh, vl,
+                axes=(DATA_AXIS, KMER_AXIS),
+                init=(acc[0], comp[0]),
+            )
+            return acc2[None], comp2[None]
+
+        row = P((DATA_AXIS, KMER_AXIS))
+        rep = P(None)
+        car = P((DATA_AXIS, KMER_AXIS), None, None)
+        _CA_FN_CACHE[key] = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P((DATA_AXIS, KMER_AXIS), None),)
+                + (row,) * 4
+                + (rep,) * 4
+                + (car, car),
+                out_specs=(car, car),
+            )
+        )
+    return _CA_FN_CACHE[key]
+
+
+def _gram_limbs_carry_fn_cached(mesh: Mesh):
+    """Two-limb variant of :func:`_gram_compact_carry_fn_cached`."""
+    key = ("gram-carry", _mesh_key(mesh))
+    if key not in _CA_FN_CACHE:
+
+        def local(hi, lo, acc, comp):
+            acc2, comp2 = _gram_dd_local(
+                hi, lo, axes=(DATA_AXIS, KMER_AXIS), init=(acc[0], comp[0])
+            )
+            return acc2[None], comp2[None]
+
+        car = P((DATA_AXIS, KMER_AXIS), None, None)
+        _CA_FN_CACHE[key] = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P((DATA_AXIS, KMER_AXIS), None),) * 2 + (car, car),
+                out_specs=(car, car),
+            )
+        )
+    return _CA_FN_CACHE[key]
+
+
+def _zero_carry(mesh: Mesh, ns: int):
+    car_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None, None))
+    z = np.zeros((mesh.devices.size, ns, ns), np.float32)
+    return (jax.device_put(z, car_sh), jax.device_put(np.copy(z), car_sh))
+
+
+def _ca_fit_streamed(
+    mesh: Mesh,
+    N: np.ndarray,
+    compact,
+    kind: str | None,
+    d: int,
+    masses: tuple,
+    w,
+    phi: str,
+    budget_dev: int,
+    tm: "_PhaseTimer",
+    verbose: bool = False,
+    on_block=None,
+):
+    """HBM-budgeted CA fit: upload -> accumulate -> DISCARD row blocks for
+    the Gram pass, then a second streamed pass re-uploading each block for
+    phi.  Device residency stays within ``budget_dev`` per device instead
+    of pinning the whole padded table (the resident fast path), so tables
+    bigger than the mesh's combined HBM train instead of OOMing.
+
+    ``on_block`` (test hook): called after each block's backpressure step —
+    the bounded-residency test probes ``jax.live_arrays()`` there.
+    """
+    from collections import deque
+
+    from ..ops.dd import split_f64
+    from ..utils.progress import Progress
+
+    (total, r, c, r_safe, c_safe, inv_sr, inv_sc, u, v) = masses
+    nk, ns = N.shape
+    n_shards = mesh.devices.size
+    x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+    row_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS)))
+    rep_sh = NamedSharding(mesh, P(None))
+    wire_bytes = {"u8": 1, "u16": 2, "f32": 4}.get(kind, 8)
+    blkK = _stream_block_rows(budget_dev, ns, d, wire_bytes, n_shards)
+    n_blocks = -(-nk // blkK)
+    global LAST_CA_STREAM
+    LAST_CA_STREAM = {
+        "wire": kind if kind is not None else "limbs",
+        "block_rows": blkK,
+        "n_blocks": n_blocks,
+        "budget_bytes_per_device": budget_dev,
+        "block_bytes_per_device": blkK * ns * wire_bytes // n_shards,
+        "max_live_blocks": 2,
+    }
+
+    compact_mode = compact is not None
+    if compact_mode:
+        beta = (w if w is not None else 1.0) / (total * np.sqrt(c_safe))
+        bh, bl = (jax.device_put(t, rep_sh) for t in split_f64(beta))
+        vh, vl = (jax.device_put(t, rep_sh) for t in split_f64(v))
+        alpha = inv_sr * (r > 0)
+
+    def _host_residual(i0: int, i1: int) -> np.ndarray:
+        """Standardized residual rows [i0, i1) in host float64 (the limb
+        wire), zero-padded to blkK rows."""
+        Sb = np.array(N[i0:i1], dtype=np.float64)
+        if w is not None:
+            Sb *= w[None, :]
+        Sb /= total
+        Sb *= inv_sr[i0:i1, None]
+        Sb *= inv_sc[None, :]
+        Sb -= u[i0:i1, None] * v[None, :]
+        if i1 - i0 < blkK:
+            Sb = np.concatenate(
+                [Sb, np.zeros((blkK - (i1 - i0), ns))], axis=0
+            )
+        return Sb
+
+    def _block_arrays(b: int, for_phi: bool):
+        """Upload block b's device arrays; returns (args tuple, refs list)."""
+        i0, i1 = b * blkK, min(nk, (b + 1) * blkK)
+        pad = blkK - (i1 - i0)
+        if compact_mode:
+            xb = compact[i0:i1]
+            if pad:
+                xb = np.concatenate(
+                    [xb, np.zeros((pad, ns), dtype=xb.dtype)], axis=0
+                )
+            xd = jax.device_put(xb, x_sharding)
+            # alpha == 0 on padded rows kills their residual contribution
+            rv = []
+            for vec in (alpha, u):
+                hi, lo = split_f64(np.pad(vec[i0:i1], (0, pad)))
+                rv.append(jax.device_put(hi, row_sh))
+                rv.append(jax.device_put(lo, row_sh))
+            refs = [xd] + rv
+            return (xd, *rv, bh, bl, vh, vl), refs
+        Sb = _host_residual(i0, i1)
+        hi = Sb.astype(np.float32)
+        hi_d = jax.device_put(hi, x_sharding)
+        if for_phi:
+            return (hi_d,), [hi_d]
+        np.subtract(Sb, hi, out=Sb)
+        lo_d = jax.device_put(Sb.astype(np.float32), x_sharding)
+        return (hi_d, lo_d), [hi_d, lo_d]
+
+    def _drain(pending: deque, keep: int, sync_idx: int = -1) -> None:
+        """Backpressure: once more than ``keep`` blocks are in flight,
+        wait for the oldest block's result and DELETE its uploads."""
+        while len(pending) > keep:
+            refs, result = pending.popleft()
+            jax.block_until_ready(
+                result[sync_idx] if isinstance(result, tuple) else result
+            )
+            for a in refs:
+                a.delete()
+            if on_block is not None:
+                on_block()
+
+    # ---- pass 1: streamed Gram ----
+    gram_fn = (
+        _gram_compact_carry_fn_cached(mesh, kind)
+        if compact_mode
+        else _gram_limbs_carry_fn_cached(mesh)
+    )
+    carry = _zero_carry(mesh, ns)
+    pending: deque = deque()
+    prog = Progress(
+        "ca_fit_sharded", "Streaming Gram blocks", n_blocks, enabled=verbose
+    )
+    for b in range(n_blocks):
+        args, refs = _block_arrays(b, for_phi=False)
+        carry = gram_fn(*args, *carry)
+        pending.append((refs, carry))
+        _drain(pending, keep=2, sync_idx=0)
+        prog.update(b + 1)
+    _drain(pending, keep=0, sync_idx=0)
+    prog.done()
+    accs, comps = carry
+    G = (
+        np.asarray(_host(accs), dtype=np.float64)
+        - np.asarray(_host(comps), dtype=np.float64)
+    ).sum(axis=0)
+    tm.mark("gram-streamed[%d blocks]" % n_blocks)
+    # ---- host eigendecomposition (tiny) ----
+    sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(G, d, c_safe)
+    tm.mark("eigh")
+    # ---- pass 2: streamed phi (re-upload each block, then discard) ----
+    Vs_d = jax.device_put(
+        (V / sv_safe[None, :]).astype(np.float32),
+        NamedSharding(mesh, P(None, None)),
+    )
+    phi_fn = (
+        _phi_compact_fn_cached(mesh, kind)
+        if compact_mode
+        else _phi_fn_cached(mesh)
+    )
+    rs_full = (inv_sr * (r > 0)).astype(np.float32)
+    host_blocks: list = []
+    dev_blocks: list = []
+    pending = deque()
+    prog = Progress(
+        "ca_fit_sharded", "Streaming phi blocks", n_blocks, enabled=verbose
+    )
+    for b in range(n_blocks):
+        args, refs = _block_arrays(b, for_phi=True)
+        rs_blk = np.zeros((blkK, 1), np.float32)
+        seg = rs_full[b * blkK : min(nk, (b + 1) * blkK)]
+        rs_blk[: seg.shape[0], 0] = seg
+        rs_d = jax.device_put(rs_blk, x_sharding)
+        if compact_mode:
+            ph = phi_fn(*args, Vs_d, rs_d)
+        else:
+            ph = phi_fn(args[0], Vs_d, rs_d)
+        refs = refs + [rs_d]
+        if phi == "device":
+            dev_blocks.append(ph)
+            pending.append((refs, ph))
+            _drain(pending, keep=2)
+        else:
+            # the host fetch blocks on ph: natural backpressure
+            pending.append((refs, ph))
+            if len(pending) > 2:
+                oldrefs, oldph = pending.popleft()
+                host_blocks.append(
+                    np.asarray(_host(oldph), dtype=np.float64)
+                )
+                for a in oldrefs:
+                    a.delete()
+                oldph.delete()
+                if on_block is not None:
+                    on_block()
+        prog.update(b + 1)
+    if phi == "device":
+        _drain(pending, keep=0)
+        tw = _concat_fn_cached(mesh, len(dev_blocks))(*dev_blocks)[:nk]
+    else:
+        while pending:
+            oldrefs, oldph = pending.popleft()
+            host_blocks.append(np.asarray(_host(oldph), dtype=np.float64))
+            for a in oldrefs:
+                a.delete()
+            oldph.delete()
+            if on_block is not None:
+                on_block()
+        tw = np.concatenate(host_blocks)[:nk].T
+    prog.done()
+    tm.mark("phi-streamed[%d blocks]" % n_blocks)
+    return (sample_coords, inertia, tw, sv)
+
+
 def _phi_fn_cached(mesh: Mesh):
     """Jitted phi matmul, cached per mesh (same recompile trap as the Gram)."""
     key = ("phi", _mesh_key(mesh))
@@ -416,6 +750,9 @@ def ca_fit_sharded(
     phi: str = "host",
     block_bytes: int = 64 << 20,
     col_weights: np.ndarray | None = None,
+    hbm_bytes: int | None = None,
+    verbose: bool = False,
+    _stream_probe=None,
 ):
     """Fit CA with the k-mer axis sharded across the whole mesh.
 
@@ -446,6 +783,16 @@ def ca_fit_sharded(
     (the KPopTwist driver's per-spectrum normalization, src/KPopTwist:92-94)
     — passing them separately keeps an integer table on the compact path
     instead of forcing a float64 materialization.
+
+    ``hbm_bytes``: per-device residency budget (default: the
+    ``KPOP_CA_HBM_BYTES`` env var, else 60% of the device memory limit when
+    the backend reports one, else unbudgeted).  When the resident dd paths
+    would exceed it, the fit switches to :func:`_ca_fit_streamed`: Gram
+    blocks are uploaded, accumulated, and DISCARDED, then a second streamed
+    pass re-uploads each block for phi — bounded device memory at any table
+    size (:data:`LAST_CA_STREAM` records the block geometry).
+    ``verbose`` adds live block progress on stderr; ``_stream_probe`` is a
+    test hook called once per retired block.
     """
     nk, ns = table.shape
     d = min(nk, ns) - 1 if n_dims is None else n_dims
@@ -510,6 +857,23 @@ def ca_fit_sharded(
     # 8 bytes/entry of host-computed limbs.  The transfer is the measured
     # bottleneck of a big fit, so this is a 2-8x cut of its dominant cost. --
     compact, kind = _compact_exact_cast(N)
+    # ---- HBM budget guard: the resident paths below pin the whole wire
+    # table (compact) or every hi limb (fallback) plus the full [K, d] phi
+    # on device; when that exceeds the per-device budget, stream instead --
+    global LAST_CA_STREAM
+    LAST_CA_STREAM = None
+    budget = hbm_bytes if hbm_bytes is not None else _hbm_budget(mesh)
+    if budget:
+        pad_rows = -(-nk // n_shards) * n_shards
+        wire_b = {"u8": 1, "u16": 2, "f32": 4}[kind] if kind else 4
+        resident_dev = pad_rows * (ns * wire_b + d * 4) / n_shards
+        if resident_dev > budget:
+            LAST_DD_UPLOAD = kind if kind else "limbs"
+            masses = (total, r, c, r_safe, c_safe, inv_sr, inv_sc, u, v)
+            return _ca_fit_streamed(
+                mesh, N, compact, kind, d, masses, w, phi, budget, tm,
+                verbose=verbose, on_block=_stream_probe,
+            )
     if compact is not None:
         from ..ops.dd import split_f64
 
