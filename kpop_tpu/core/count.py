@@ -53,24 +53,43 @@ def content_encoder(content: str):
 
 @dataclass
 class SpectrumAccumulator:
-    """Accumulates window codes; dense below DENSE_K_MAX, sparse above."""
+    """Accumulates window codes; dense below DENSE_K_MAX, sparse above.
+
+    The sparse store is the native open-addressing hash when available
+    (the reference counts any k at hash speed via
+    ``KMers.IntHashFrequencies``, bin/KPopCount.ml:111-123; the numpy
+    fallback's per-read sorted merge is quadratic over reads) — set
+    ``use_native=False`` to force the pure-numpy golden path.
+    """
 
     space: KmerSpace
     dense: np.ndarray | None = None
+    use_native: bool = True
     sparse_codes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
     sparse_counts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    native_hash: object | None = field(default=None, repr=False)
 
     def __post_init__(self):
         # dense only when the code space itself is small (4^DENSE_K_MAX
         # entries); a base-20 protein space outgrows that at much lower k
         if self.space.n_kmers <= 4**DENSE_K_MAX and self.dense is None:
             self.dense = np.zeros(self.space.n_kmers, dtype=np.int64)
+        elif self.dense is None and self.use_native:
+            try:
+                from .. import native
+
+                if native.available():
+                    self.native_hash = native.SparseCounter()
+            except ImportError:
+                pass
 
     def add(self, codes: np.ndarray) -> None:
         if codes.size == 0:
             return
         if self.dense is not None:
             np.add.at(self.dense, codes.astype(np.int64), 1)
+        elif self.native_hash is not None:
+            self.native_hash.add_codes(codes)
         else:
             cs, ct = np.unique(codes, return_counts=True)
             # merge sorted (codes, counts) runs
@@ -87,6 +106,8 @@ class SpectrumAccumulator:
     def n_distinct(self) -> int:
         if self.dense is not None:
             return int(np.count_nonzero(self.dense))
+        if self.native_hash is not None:
+            return len(self.native_hash)
         return len(self.sparse_codes)
 
     def nonzero(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -94,11 +115,15 @@ class SpectrumAccumulator:
         if self.dense is not None:
             nz = np.nonzero(self.dense)[0]
             return nz.astype(np.uint64), self.dense[nz]
+        if self.native_hash is not None:
+            return self.native_hash.extract()
         return self.sparse_codes, self.sparse_counts
 
     def clear(self) -> None:
         if self.dense is not None:
             self.dense.fill(0)
+        elif self.native_hash is not None:
+            self.native_hash.clear()
         else:
             self.sparse_codes = np.zeros(0, np.uint64)
             self.sparse_counts = np.zeros(0, np.int64)
@@ -156,6 +181,28 @@ def _native_counter(space: KmerSpace):
     return count_into
 
 
+def _native_sparse_counter(space: KmerSpace):
+    """C++ fast path for the large-k sparse store: encode + rolling-code
+    count straight into the accumulator's open-addressing hash."""
+    if space.n_kmers <= 4**DENSE_K_MAX:
+        return None  # the dense path owns small code spaces
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    protein = space.content == "protein"
+    nat_enc = native.encode_protein if protein else native.encode_dna
+    k, canonical, base = space.k, space.canonical, space.base
+
+    def count_into(seq, acc: SpectrumAccumulator) -> None:
+        codes = nat_enc(seq.encode() if isinstance(seq, str) else seq)
+        acc.native_hash.count_seq(codes, k, canonical, base)
+
+    return count_into
+
+
 def count_reads(
     inputs: Sequence[ReadsInput],
     space: KmerSpace,
@@ -171,6 +218,7 @@ def count_reads(
     encoder = content_encoder(space.content)
     acc = SpectrumAccumulator(space)
     native_count = _native_counter(space)
+    native_sparse = _native_sparse_counter(space)
     if label != "":
         spectra_io.write_spectrum_header(
             out, strip_external_quotes_and_check(label)
@@ -180,6 +228,9 @@ def count_reads(
         if native_count is not None and acc.dense is not None:
             for seq in segments:
                 native_count(seq, acc.dense)
+        elif native_sparse is not None and acc.native_hash is not None:
+            for seq in segments:
+                native_sparse(seq, acc)
         else:
             for seq in segments:
                 acc.add(space.window_codes(encoder(seq)))
@@ -203,11 +254,11 @@ def count_reads(
 
 
 def spectrum_of_sequences(
-    space: KmerSpace, sequences: Iterable[str]
+    space: KmerSpace, sequences: Iterable[str], use_native: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
     """In-memory convenience: (codes, counts) of a set of sequences."""
     encoder = content_encoder(space.content)
-    acc = SpectrumAccumulator(space)
+    acc = SpectrumAccumulator(space, use_native=use_native)
     for seq in sequences:
         acc.add(space.window_codes(encoder(seq)))
     return acc.nonzero()

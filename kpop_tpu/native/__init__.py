@@ -59,7 +59,7 @@ def get_lib():
             return None
         # A stale .so (e.g. from a checkout whose mtime ties the source)
         # may predate newer entry points: verify and rebuild once.
-        if not hasattr(lib, "kpop_format_tsv"):
+        if not hasattr(lib, "kpop_sparse_create"):
             del lib
             if not _build():
                 return None
@@ -67,7 +67,7 @@ def get_lib():
                 lib = ctypes.CDLL(_LIB)
             except OSError:
                 return None
-            if not hasattr(lib, "kpop_format_tsv"):
+            if not hasattr(lib, "kpop_sparse_create"):
                 return None
         lib.kpop_encode_dna.restype = _i64
         lib.kpop_encode_dna.argtypes = [_u8p, _i64, _i8p]
@@ -125,6 +125,24 @@ def get_lib():
             _i64,
             _i64p,
         ]
+        _u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.kpop_sparse_create.restype = ctypes.c_void_p
+        lib.kpop_sparse_create.argtypes = [_i64]
+        lib.kpop_sparse_free.restype = None
+        lib.kpop_sparse_free.argtypes = [ctypes.c_void_p]
+        lib.kpop_sparse_clear.restype = None
+        lib.kpop_sparse_clear.argtypes = [ctypes.c_void_p]
+        lib.kpop_sparse_size.restype = _i64
+        lib.kpop_sparse_size.argtypes = [ctypes.c_void_p]
+        lib.kpop_sparse_add_codes.restype = None
+        lib.kpop_sparse_add_codes.argtypes = [ctypes.c_void_p, _u64p, _i64]
+        lib.kpop_sparse_count_seq.restype = None
+        lib.kpop_sparse_count_seq.argtypes = [
+            ctypes.c_void_p, _i8p, _i64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.kpop_sparse_extract.restype = _i64
+        lib.kpop_sparse_extract.argtypes = [ctypes.c_void_p, _u64p, _i64p]
         _lib = lib
         return _lib
 
@@ -298,6 +316,67 @@ def count_dense_batch(
         int(canonical), out.ctypes.data_as(_i64p),
     )
     return out
+
+
+class SparseCounter:
+    """Open-addressing k-mer count hash (large-k sparse counting).
+
+    The native equivalent of the reference's bounded hash table
+    (``KMers.IntHashFrequencies``, bin/KPopCount.ml:25,111-123): O(1)
+    inserts per window instead of the numpy fallback's per-read sorted
+    merge.  ``clear()`` keeps capacity for the -M dump-and-clear cycle.
+    """
+
+    def __init__(self, capacity_hint: int = 1 << 16):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.kpop_sparse_create(capacity_hint)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.kpop_sparse_free(h)
+            self._h = None
+
+    def __len__(self) -> int:
+        return int(self._lib.kpop_sparse_size(self._h))
+
+    def add_codes(self, codes: np.ndarray) -> None:
+        codes = np.ascontiguousarray(codes, dtype=np.uint64)
+        self._lib.kpop_sparse_add_codes(
+            self._h,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(codes),
+        )
+
+    def count_seq(
+        self, codes: np.ndarray, k: int, canonical: bool, base: int
+    ) -> None:
+        """Count every valid k-window of an encoded (int8) sequence."""
+        codes = np.ascontiguousarray(codes, dtype=np.int8)
+        self._lib.kpop_sparse_count_seq(
+            self._h, codes.ctypes.data_as(_i8p), len(codes), k,
+            int(canonical), base,
+        )
+
+    def extract(self):
+        """All (codes, counts), sorted by code."""
+        n = len(self)
+        codes = np.empty(n, dtype=np.uint64)
+        counts = np.empty(n, dtype=np.int64)
+        if n:
+            m = self._lib.kpop_sparse_extract(
+                self._h,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                counts.ctypes.data_as(_i64p),
+            )
+            assert m == n
+        return codes, counts
+
+    def clear(self) -> None:
+        self._lib.kpop_sparse_clear(self._h)
 
 
 def _names_blob(prefixes):

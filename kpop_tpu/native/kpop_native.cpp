@@ -606,3 +606,187 @@ void kpop_pack_2bit_batch(const int8_t* codes, int64_t n_seqs, int64_t length,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Open-addressing k-mer count hash: the large-k sparse counting path.
+//
+// For DNA k > 13 (and protein k > ~6) the dense 4^k spectrum no longer fits,
+// and the numpy fallback degrades to a full sorted merge per read.  The
+// reference counts any k at hash speed (BiOCamLib KMers.IntHashFrequencies,
+// bin/KPopCount.ml:111-123); this is the equivalent: linear-probing table,
+// splitmix64-mixed keys, power-of-two capacity, dump-and-clear reuse for the
+// -M eviction semantics (bin/KPopCount.ml:116-123).
+
+namespace {
+
+constexpr uint64_t kSparseEmpty = ~0ULL;  // > any k-mer code (4^30, 20^12)
+
+inline uint64_t kpop_mix64(uint64_t x) {  // splitmix64 finalizer
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+struct SparseHash {
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> vals;
+  int64_t n = 0;
+  uint64_t mask = 0;
+
+  explicit SparseHash(int64_t cap_hint) {
+    uint64_t cap = 64;
+    while ((int64_t)(cap * 7 / 10) < cap_hint && cap < (1ULL << 62)) cap <<= 1;
+    keys.assign(cap, kSparseEmpty);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+  }
+
+  void grow() {
+    std::vector<uint64_t> ok;
+    std::vector<int64_t> ov;
+    ok.swap(keys);
+    ov.swap(vals);
+    uint64_t cap = (mask + 1) << 1;
+    keys.assign(cap, kSparseEmpty);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+    for (uint64_t i = 0; i < ok.size(); ++i) {
+      if (ok[i] == kSparseEmpty) continue;
+      uint64_t j = kpop_mix64(ok[i]) & mask;
+      while (keys[j] != kSparseEmpty) j = (j + 1) & mask;
+      keys[j] = ok[i];
+      vals[j] = ov[i];
+    }
+  }
+
+  inline void add(uint64_t key, int64_t cnt) {
+    if ((uint64_t)(n + 1) * 10 > (mask + 1) * 7) grow();
+    uint64_t i = kpop_mix64(key) & mask;
+    for (;;) {
+      if (keys[i] == key) {
+        vals[i] += cnt;
+        return;
+      }
+      if (keys[i] == kSparseEmpty) {
+        keys[i] = key;
+        vals[i] = cnt;
+        ++n;
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+
+  // Batched insert with software prefetch: inserts are memory-latency
+  // bound at multi-million-entry tables (each probe is a cold cache
+  // line); prefetching a window of upcoming buckets overlaps the misses.
+  void add_batch(const uint64_t* ks, int64_t m, int64_t cnt_each) {
+    constexpr int64_t W = 16;
+    for (int64_t i = 0; i < m; ++i) {
+      if (i + W < m)
+        __builtin_prefetch(&keys[kpop_mix64(ks[i + W]) & mask]);
+      add(ks[i], cnt_each);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* kpop_sparse_create(int64_t cap_hint) {
+  return new SparseHash(cap_hint > 0 ? cap_hint : 1 << 16);
+}
+
+void kpop_sparse_free(void* h) { delete (SparseHash*)h; }
+
+void kpop_sparse_clear(void* h) {
+  auto* s = (SparseHash*)h;
+  std::fill(s->keys.begin(), s->keys.end(), kSparseEmpty);
+  s->n = 0;
+}
+
+int64_t kpop_sparse_size(void* h) { return ((SparseHash*)h)->n; }
+
+// Bulk-insert precomputed (canonical) window codes, one count each.
+void kpop_sparse_add_codes(void* h, const uint64_t* codes, int64_t n) {
+  ((SparseHash*)h)->add_batch(codes, n, 1);
+}
+
+// Count every valid k-window of an encoded sequence straight into the hash:
+// the rolling-code twin of kpop_count_dense for DNA (base 4, optional
+// canonical min(fwd, revcomp)) plus the base-20 protein rolling code
+// (fwd' = (fwd*20 + c) mod 20^k; no reverse strand).
+void kpop_sparse_count_seq(void* h, const int8_t* codes, int64_t n, int32_t k,
+                           int32_t canonical, int32_t base) {
+  auto* s = (SparseHash*)h;
+  if (k <= 0 || n < k) return;
+  // stage rolled codes in a small buffer so add_batch can prefetch buckets
+  uint64_t buf[256];
+  int64_t nb = 0;
+  auto flush = [&] {
+    s->add_batch(buf, nb, 1);
+    nb = 0;
+  };
+  if (base == 4) {
+    if (k > 31) return;
+    const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int shift = 2 * (k - 1);
+    uint64_t fwd = 0, rc = 0;
+    int64_t run = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      int8_t c = codes[i];
+      if (c < 0) {
+        run = 0;
+        fwd = rc = 0;
+        continue;
+      }
+      fwd = ((fwd << 2) | (uint64_t)c) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - c) << shift);
+      if (++run >= k) {
+        buf[nb++] = canonical && rc < fwd ? rc : fwd;
+        if (nb == 256) flush();
+      }
+    }
+  } else {
+    uint64_t mod = 1;
+    for (int32_t j = 0; j < k; ++j) mod *= (uint64_t)base;
+    uint64_t fwd = 0;
+    int64_t run = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      int8_t c = codes[i];
+      if (c < 0) {
+        run = 0;
+        fwd = 0;
+        continue;
+      }
+      fwd = (fwd * (uint64_t)base + (uint64_t)c) % mod;
+      if (++run >= k) {
+        buf[nb++] = fwd;
+        if (nb == 256) flush();
+      }
+    }
+  }
+  flush();
+}
+
+// Extract all (code, count) pairs sorted by code; returns the pair count.
+// Caller sizes the output arrays with kpop_sparse_size.
+int64_t kpop_sparse_extract(void* h, uint64_t* out_codes, int64_t* out_counts) {
+  auto* s = (SparseHash*)h;
+  int64_t m = 0;
+  std::vector<std::pair<uint64_t, int64_t>> pairs;
+  pairs.reserve(s->n);
+  for (uint64_t i = 0; i <= s->mask; ++i)
+    if (s->keys[i] != kSparseEmpty) pairs.emplace_back(s->keys[i], s->vals[i]);
+  std::sort(pairs.begin(), pairs.end());
+  for (auto& p : pairs) {
+    out_codes[m] = p.first;
+    out_counts[m] = p.second;
+    ++m;
+  }
+  return m;
+}
+
+}  // extern "C"

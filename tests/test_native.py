@@ -399,3 +399,113 @@ def test_parse_tsv_still_accepts_python_valid_floats(tmp_path):
     assert np.isneginf(m.data[0][2])
     assert np.isnan(m.data[1][0])
     assert m.data[1][1] == 1e-300 and m.data[1][2] == 3
+
+
+@pytest.mark.parametrize(
+    "content,k",
+    [("DNA-ds", 15), ("DNA-ds", 18), ("DNA-ds", 30), ("DNA-ss", 20),
+     ("protein", 8), ("protein", 12)],
+)
+def test_sparse_counter_matches_window_codes(content, k):
+    """The C++ open-addressing hash counter (large-k path) must agree with
+    the vectorized numpy window extraction + merge, including break
+    handling and canonical DNA-ds codes."""
+    from kpop_tpu.core.kmers import KmerSpace
+
+    space = KmerSpace(content, k)
+    rng = np.random.default_rng(7)
+    if content == "protein":
+        alpha = list("ACDEFGHIKLMNPQRSTVWYXz-")
+        seqs = ["".join(rng.choice(alpha, size=200)) for _ in range(30)]
+        enc = kmers.encode_protein
+    else:
+        seqs = [random_dna(rng, 400) for _ in range(30)]
+        enc = kmers.encode_dna
+    h = native.SparseCounter()
+    want_codes = np.zeros(0, np.uint64)
+    want_counts = np.zeros(0, np.int64)
+    for seq in seqs:
+        codes = enc(seq)
+        h.count_seq(
+            np.asarray(codes, np.int8), k, space.canonical, space.base
+        )
+        wc = space.window_codes(np.asarray(codes))
+        allc = np.concatenate([want_codes, wc])
+        uniq, inv = np.unique(allc, return_inverse=True)
+        merged = np.zeros(len(uniq), np.int64)
+        np.add.at(
+            merged, inv, np.concatenate([want_counts, np.ones(len(wc), np.int64)])
+        )
+        want_codes, want_counts = uniq, merged
+    got_codes, got_counts = h.extract()
+    np.testing.assert_array_equal(got_codes, want_codes)
+    np.testing.assert_array_equal(got_counts, want_counts)
+
+
+def test_sparse_counter_growth_and_clear():
+    """Growth across several rehashes and dump-and-clear reuse."""
+    rng = np.random.default_rng(8)
+    h = native.SparseCounter(capacity_hint=4)
+    codes = rng.integers(0, 1 << 50, size=200_000).astype(np.uint64)
+    h.add_codes(codes)
+    h.add_codes(codes[:1000])
+    uniq, cnt = np.unique(codes, return_counts=True)
+    cnt2 = cnt.copy()
+    u1, c1 = np.unique(codes[:1000], return_counts=True)
+    cnt2[np.searchsorted(uniq, u1)] += c1
+    got_codes, got_counts = h.extract()
+    np.testing.assert_array_equal(got_codes, uniq)
+    np.testing.assert_array_equal(got_counts, cnt2)
+    h.clear()
+    assert len(h) == 0
+    h.add_codes(np.array([5, 5, 7], dtype=np.uint64))
+    gc, gn = h.extract()
+    np.testing.assert_array_equal(gc, [5, 7])
+    np.testing.assert_array_equal(gn, [2, 1])
+
+
+def test_count_reads_large_k_native_matches_numpy(tmp_path):
+    """count_reads at k=18 (sparse native hash) must emit byte-identical
+    spectra to the pure-numpy golden path, including -M dump-and-clear
+    eviction duplicates (bin/KPopCount.ml:116-123 semantics)."""
+    import io as _io
+
+    from kpop_tpu.core import count as count_mod
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.io.reads import FastaInput
+
+    rng = np.random.default_rng(9)
+    fa = tmp_path / "r.fasta"
+    with open(fa, "w") as f:
+        for i in range(12):
+            f.write(">r%d\n%s\n" % (i, random_dna(rng, 600)))
+    space = KmerSpace("DNA-ds", 18)
+
+    def run(use_native, max_results_size):
+        out = _io.StringIO()
+        orig_acc = count_mod.SpectrumAccumulator
+        orig_sparse = count_mod._native_sparse_counter
+        if not use_native:
+            count_mod._native_sparse_counter = lambda s: None
+
+            def acc_no_native(space, **kw):
+                kw["use_native"] = False
+                return orig_acc(space, **kw)
+
+            count_mod.SpectrumAccumulator = acc_no_native
+        try:
+            count_mod.count_reads(
+                [FastaInput(str(fa))], space, out, label="L",
+                max_results_size=max_results_size,
+            )
+        finally:
+            count_mod.SpectrumAccumulator = orig_acc
+            count_mod._native_sparse_counter = orig_sparse
+        return out.getvalue()
+
+    for mrs in (10**9, 500):  # no eviction / eviction every ~1 read
+        got = run(True, mrs)
+        want = run(False, mrs)
+        assert got == want
+        if mrs == 500:
+            assert got.count("\t") > 1  # eviction produced duplicate dumps
