@@ -25,6 +25,7 @@ from ..core.space import Distance, Metric, summarize_distance_row
 from ..core.twister import Twister
 from ..io.reads import FastaInput, PairedEndFastqInput, SingleEndFastqInput, iter_reads
 from ..utils.cli import Args, ParseError, Parser
+from ..utils.progress import set_verbose
 from ..utils.naming import SUMMARY_EXT, close_if_owned, open_out, with_ext
 
 
@@ -171,7 +172,7 @@ def main(argv=None) -> int:
            "tensorboard or xprof; kpop-tpu extension)"],
           lambda a: state.update(profile=a.get()))
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
-          lambda a: state.update(verbose=True))
+          lambda a: (state.update(verbose=True), set_verbose(True)))
     p.opt(["-V", "--version"], None, ["print version and exit"],
           lambda a: (print(__version__), sys.exit(0)))
     p.opt(["-h", "--help"], None, ["print syntax and exit"],

@@ -13,6 +13,7 @@ from ..core.kmers import KmerSpace
 from ..io.reads import FastaInput, PairedEndFastqInput, SingleEndFastqInput
 from ..io.spectra import spectra_filename
 from ..utils.cli import Args, ParseError, Parser
+from ..utils.progress import set_verbose
 from ..utils.naming import close_if_owned, open_out
 from ..utils.quoting import QuotesInName, strip_external_quotes_and_check
 
@@ -129,7 +130,7 @@ def main(argv=None) -> int:
           ["number of concurrent computing threads (advisory; XLA/BLAS decide)"],
           lambda a: a.get_int_pos())
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
-          lambda a: state.update(verbose=True))
+          lambda a: (state.update(verbose=True), set_verbose(True)))
     p.opt(["-V", "--version"], None, ["print version and exit"],
           lambda a: (print(__version__), sys.exit(0)))
     p.opt(["-h", "--help"], None, ["print syntax and exit"],

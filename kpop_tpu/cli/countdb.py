@@ -17,6 +17,7 @@ from ..core.matrix import KPopMatrix, MatrixType
 from ..core.space import Distance, distance_rowwise
 from ..core.transforms import Transformation
 from ..utils.cli import Args, Parser, parse_regexp_selector
+from ..utils.progress import set_verbose
 
 
 def main(argv=None) -> int:
@@ -309,7 +310,7 @@ def main(argv=None) -> int:
           ["number of concurrent computing threads (advisory; XLA/BLAS decide)"],
           lambda a: settings.update(threads=a.get_int_pos()))
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
-          lambda a: settings.update(verbose=True))
+          lambda a: (settings.update(verbose=True), set_verbose(True)))
     p.opt(["-V", "--version"], None, ["print version and exit"],
           lambda a: (print(__version__), sys.exit(0)))
     p.opt(["-h", "--help"], None, ["print syntax and exit"],

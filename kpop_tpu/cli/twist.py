@@ -17,6 +17,7 @@ from ..core.counter_db import CounterDB
 from ..core.transforms import Transformation
 from ..core.twister import TwistParameters, twist_counter_db
 from ..utils.cli import ParseError, Parser
+from ..utils.progress import set_verbose
 
 
 def main(argv=None) -> int:
@@ -92,7 +93,7 @@ def main(argv=None) -> int:
     p.opt(["--keep-temporaries"], None,
           ["compatibility no-op (no temporaries are produced)"], lambda a: None)
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
-          lambda a: state.update(verbose=True))
+          lambda a: (state.update(verbose=True), set_verbose(True)))
     p.opt(["-V", "--version"], None, ["print version and exit"],
           lambda a: (print(__version__), sys.exit(0)))
     p.opt(["-h", "--help"], None, ["print syntax and exit"],

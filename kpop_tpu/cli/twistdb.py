@@ -25,6 +25,7 @@ from ..core.space import (
 from ..core.splits import Splits, get_splits
 from ..core.twister import Twister
 from ..utils.cli import Args, ParseError, Parser
+from ..utils.progress import set_verbose
 from ..utils.naming import SUMMARY_EXT, close_if_owned, open_out, with_ext
 
 REGISTER_TYPES = {
@@ -427,7 +428,7 @@ def main(argv=None) -> int:
     p.opt(["-T", "--threads"], "<computing_threads>",
           ["advisory; XLA/BLAS decide"], lambda a: a.get_int_pos())
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
-          lambda a: meta.update(verbose=True))
+          lambda a: (meta.update(verbose=True), set_verbose(True)))
     p.opt(["-V", "--version"], None, ["print version and exit"],
           lambda a: (print(__version__), sys.exit(0)))
     p.opt(["-h", "--help"], None, ["print syntax and exit"],

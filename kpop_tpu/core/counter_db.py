@@ -330,10 +330,15 @@ class CounterDB:
         return len(header_pos)
 
     def add_files(self, prefixes: Sequence[str]) -> int:
+        from ..utils.progress import Progress
+
         n = 0
         chunk_size = 64 << 20
         for prefix in prefixes:
             path = spectra_io.spectra_filename(prefix)
+            prog = Progress(
+                "KMerDB.add_files", "Reading spectra from '%s'" % path
+            )
             try:
                 from .. import native as _native
 
@@ -365,6 +370,7 @@ class CounterDB:
                                 head, allow_continuation=not first
                             )
                             first = False
+                        prog.update(n)
                 finally:
                     close_if_owned(f, path)
             else:
@@ -373,6 +379,8 @@ class CounterDB:
                     n += self.add_spectra_stream(f)
                 finally:
                     close_if_owned(f, path)
+            prog.update(n)
+            prog.done("spectra.")
         return n
 
     def add_meta(self, fname: str) -> None:
@@ -582,11 +590,16 @@ class CounterDB:
         transformed float64 matrix caps DB size far below the reference's
         2 GB counters (README.md:1029).
         """
+        from ..utils.progress import Progress
         from .transforms import export_block_rows
 
         _stats, ri, ci, stats_sub = self._transform_stats(filter)
         R = export_block_rows(max(1, len(ci)), block_bytes)
+        prog = Progress(
+            "KMerDB.transformed_blocks", "Transforming rows", len(ri)
+        )
         for r0 in range(0, len(ri), R):
+            prog.update(r0)
             ridx = ri[r0 : r0 + R]
             blk = (
                 apply_transform(
@@ -596,6 +609,7 @@ class CounterDB:
                 else np.zeros((len(ridx), len(ci)))
             )
             yield ridx, ci, blk
+        prog.done()
 
     def transformed(
         self, filter: TableFilter, block_bytes: int | None = None
@@ -703,7 +717,13 @@ class CounterDB:
                 fmt_native = _native_formatter()
                 C = self._col_block_size(max(1, len(ri)), block_bytes)
                 with_prefix = bool(filter.print_row_names or meta_rows)
+                from ..utils.progress import Progress
+
+                prog = Progress(
+                    "KMerDB.to_table", "Writing transposed table", len(ci)
+                )
                 for c0 in range(0, len(ci), C):
+                    prog.update(c0)
                     ci_chunk = ci[c0 : c0 + C]
                     slab = self._transformed_col_block(
                         filter, ri, ci_chunk, stats
@@ -738,6 +758,7 @@ class CounterDB:
                         ]
                         parts += [fmt % v for v in slab[:, j]]
                         f.write("\t".join(parts) + "\n")
+                prog.done("lines.")
             else:
                 from .transforms import export_block_rows
 
@@ -752,7 +773,13 @@ class CounterDB:
                     f.write("\t".join(parts) + "\n")
                 fmt_native = _native_formatter()
                 R = export_block_rows(max(1, len(ci)), block_bytes)
+                from ..utils.progress import Progress
+
+                prog = Progress(
+                    "KMerDB.to_table", "Writing table", len(ri)
+                )
                 for r0 in range(0, len(ri), R):
+                    prog.update(r0)
                     ridx = ri[r0 : r0 + R]
                     blk = (
                         apply_transform(
@@ -783,6 +810,7 @@ class CounterDB:
                         )
                         parts += [fmt % v for v in blk[i, :]]
                         f.write("\t".join(parts) + "\n")
+                prog.done("lines.")
         finally:
             close_if_owned(f, path)
 
@@ -808,7 +836,13 @@ class CounterDB:
                 else None
             )
             C = self._col_block_size(max(1, len(ri)), block_bytes)
+            from ..utils.progress import Progress
+
+            prog = Progress(
+                "KMerDB.to_spectra", "Writing spectra", len(ci)
+            )
             for c0 in range(0, len(ci), C):
+                prog.update(c0)
                 ci_chunk = ci[c0 : c0 + C]
                 slab = self._transformed_col_block(
                     filter, ri, ci_chunk, stats
@@ -827,6 +861,7 @@ class CounterDB:
                         f.write(
                             "%s\t%s\n" % (row_names[ri[i]], fmt % vals[i])
                         )
+            prog.done("spectra.")
         finally:
             close_if_owned(f, path)
 
@@ -903,7 +938,11 @@ class CounterDB:
         )
         sum1 = np.zeros((nk, n_b))
         sumsq = np.zeros((nk, n_b))
+        from ..utils.progress import Progress
+
+        prog = Progress("KMerDB.distill_kmers", "Distilling k-mers", nk)
         for r0 in range(0, nk, rows_per_block):
+            prog.update(r0)
             r1 = min(r0 + rows_per_block, nk)
             blk = self.counts[r0:r1].astype(np.float64) / col_sums[None, :]
             d = blk[:, iu_s]
@@ -915,6 +954,7 @@ class CounterDB:
             d -= (s1 / nb_f[None, :])[:, bucket_of_pair]
             d *= d
             sumsq[r0:r1] = np.add.reduceat(d, starts, axis=1)
+        prog.done()
 
         mean_b = sum1 / nb_f[None, :]
         var_b = np.where(

@@ -361,7 +361,13 @@ def summarize_rowwise(
     n_targets = max(1, a.shape[0])
     block = max(1, block_elements // n_targets)
     lines: List[str] = []
+    from ..utils.progress import Progress
+
+    prog = Progress(
+        "Matrix.summarize_rowwise", "Summarizing distances", b.shape[0]
+    )
     for lo in range(0, b.shape[0], block):
+        prog.update(lo)
         hi = min(lo + block, b.shape[0])
         bb = b[lo:hi]
         n2b = normalizations(distance, metric, bb) if normalize else None
@@ -370,6 +376,7 @@ def summarize_rowwise(
             summarize_distance_row(req_len, m2.row_names[lo + j], dm[j], col_names)
             for j in range(hi - lo)
         )
+    prog.done("queries.")
     return lines
 
 

@@ -131,14 +131,19 @@ def stats_table(
     blocks (for fractional thresholds a first pass accumulates the powered
     column sums the thresholds are relative to).
     """
+    from ..utils.progress import Progress
+
     nr, nc = counts.shape
     t, p = transform.threshold, transform.power
     R = export_block_rows(nc, block_bytes)
     if t < 1.0:
         col_pre = np.zeros(nc)
+        prog = Progress("KMerDB.stats", "Computing column thresholds", nr)
         for r0 in range(0, nr, R):
+            prog.update(r0)
             c = counts[r0 : r0 + R].astype(np.float64)
             col_pre += (c if p == 1.0 else np.power(c, p)).sum(axis=0)
+        prog.done()
         col_thr = t * col_pre
     else:
         col_thr = np.full(nc, t)
@@ -153,8 +158,10 @@ def stats_table(
     rmax = np.zeros(nr)
     rs = np.zeros(nr)
     rsl = np.zeros(nr)
+    prog = Progress("KMerDB.stats", "Computing col/row statistics", nr)
     with np.errstate(divide="ignore", invalid="ignore"):
         for r0 in range(0, nr, R):
+            prog.update(r0)
             r1 = min(r0 + R, nr)
             c = counts[r0:r1].astype(np.float64)
             powered = c if p == 1.0 else np.power(c, p)
@@ -171,6 +178,7 @@ def stats_table(
             (
                 rn[r0:r1], rmin[r0:r1], rmax[r0:r1], rs[r0:r1], rsl[r0:r1]
             ) = _axis_stats(c, t, p, axis=1)
+    prog.done()
     csl = np.where(c_neg_inf, -np.inf, csl)
     return StatsTable(cn, cmin, cmax, cs, csl, rn, rmin, rmax, rs, rsl)
 

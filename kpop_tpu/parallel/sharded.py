@@ -606,7 +606,8 @@ def _ca_fit_streamed(
     carry = _zero_carry(mesh, ns)
     pending: deque = deque()
     prog = Progress(
-        "ca_fit_sharded", "Streaming Gram blocks", n_blocks, enabled=verbose
+        "ca_fit_sharded", "Streaming Gram blocks", n_blocks,
+        enabled=True if verbose else None,
     )
     for b in range(n_blocks):
         args, refs = _block_arrays(b, for_phi=False)
@@ -640,7 +641,8 @@ def _ca_fit_streamed(
     dev_blocks: list = []
     pending = deque()
     prog = Progress(
-        "ca_fit_sharded", "Streaming phi blocks", n_blocks, enabled=verbose
+        "ca_fit_sharded", "Streaming phi blocks", n_blocks,
+        enabled=True if verbose else None,
     )
     for b in range(n_blocks):
         args, refs = _block_arrays(b, for_phi=True)

@@ -18,6 +18,20 @@ import time
 #: ``String.TermIO.clear``
 _CLEAR = "\x1b[K"
 
+#: process-wide default for ``Progress(enabled=None)`` — the analogue of
+#: the reference's global ``Parameters.verbose`` flag, set once by each
+#: CLI's ``-v`` so the deep streaming loops need no verbose plumbing
+_default_enabled = False
+
+
+def set_verbose(on: bool) -> None:
+    global _default_enabled
+    _default_enabled = bool(on)
+
+
+def verbose_enabled() -> bool:
+    return _default_enabled
+
 
 class Progress:
     """One progress line, updated in place.
@@ -32,14 +46,14 @@ class Progress:
         label: str,
         what: str,
         total: int | None = None,
-        enabled: bool = True,
+        enabled: bool | None = None,
         stream=None,
         min_interval: float = 0.1,
     ):
         self.label = label
         self.what = what
         self.total = total
-        self.enabled = enabled
+        self.enabled = _default_enabled if enabled is None else enabled
         self.stream = stream if stream is not None else sys.stderr
         self.min_interval = min_interval
         self._done = 0

@@ -127,6 +127,9 @@ def test_export_peak_memory_bounded_at_5m_rows():
         sys.path.insert(0, %r)
         from kpop_tpu.core.counter_db import CounterDB, TableFilter
         from kpop_tpu.core.transforms import Transformation
+        from kpop_tpu.utils.progress import set_verbose
+
+        set_verbose(True)  # the -v live progress must ride along for free
 
         def rss_kb():
             return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
@@ -154,6 +157,13 @@ def test_export_peak_memory_bounded_at_5m_rows():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "EXPORT_DELTA_KB" in res.stdout
+    # live carriage-return progress through the streamed passes
+    # (reference -v UX, lib/KMerDB.ml:226-229); \r itself is
+    # newline-translated by text=True, so assert on the clear escape
+    assert "\x1b[K" in res.stderr
+    assert "(KMerDB.stats): Computing col/row statistics" in res.stderr
+    assert "(KMerDB.to_table): Writing table [5000000/5000000] lines." \
+        in res.stderr
 
 
 def test_twist_table_peak_memory_identity_int32():
