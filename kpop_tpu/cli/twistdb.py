@@ -234,6 +234,11 @@ def main(argv=None) -> int:
           lambda a: (lambda v: act(lambda st: st.update(splits_keep_at_most=v)))(
               a.get_int_pos()),
           "10000")
+    p.opt(["--splits-seed", "--seed"], "<integer>",
+          ["RNG seed for the centroids splits annealing",
+           "(kpop-tpu extension for reproducibility)"],
+          lambda a: (lambda v: act(lambda st: st.update(splits_seed=v)))(
+              int(a.get())))
     p.opt(
         ["-p", "--splits", "--compute-splits", "--embeddings-to-splits"],
         None,
@@ -241,7 +246,8 @@ def main(argv=None) -> int:
          "result -> splits register"],
         lambda a: act(lambda st: st.update(
             splits=get_splits(
-                st["splits_algorithm"], st["splits_keep_at_most"], st["embeddings"]
+                st["splits_algorithm"], st["splits_keep_at_most"],
+                st["embeddings"], seed=st["splits_seed"],
             )
         )),
     )
@@ -451,6 +457,7 @@ def main(argv=None) -> int:
         distance_normalize=True,
         splits_algorithm="gaps",
         splits_keep_at_most=10000,
+        splits_seed=None,
         summary_keep_at_most=2,
         backend="host",
         precision_tables=15,

@@ -189,6 +189,15 @@ def _bipartition(
     element).  Moves are accepted with probability
     ``1 / (1 + (1-p0)/p0 * exp(-magnification * delta))``; the search stops
     after ``max(n, 40)`` consecutive rejections (lib/Matrix.ml:370-521).
+
+    Documented deviation: a step cap of ``max(200 n, 20000)`` moves.  The
+    reference has no cap, but its termination criterion has VANISHING
+    stopping probability as n grows — per-move deltas shrink as O(1/n), so
+    the acceptance probability floors at p0=0.2 and a run of n consecutive
+    rejections has probability ~0.8^n (the reference would effectively
+    never terminate at its own 10^4-sample relatedness workloads).  Small
+    inputs terminate naturally long before the cap, so behaviour there is
+    unchanged; capped runs return the best assignment seen.
     """
     inverse_acceptance = (
         1.0 - acceptance_probability_at_zero
@@ -196,12 +205,17 @@ def _bipartition(
     neg_scale = -difference_magnification_factor
     n = len(element_ids)
     d = data.shape[1]
-    side = {}  # element -> 0|1
+    # positional (not dict) assignment + an O(1)-amortized best tracker:
+    # `changed` holds positions flipped since the last best snapshot, so a
+    # new best merges only those instead of copying the whole assignment
+    # (the old dict copy made annealing O(n) per improvement — quadratic
+    # at the relatedness engine's 10^4-10^5 leaves)
+    side = np.empty(n, dtype=np.int8)
     sums = [np.zeros(d), np.zeros(d)]
     cards = [0, 0]
-    for e in element_ids:
+    for pos, e in enumerate(element_ids):
         s = 1 if rng.random() < 0.5 else 0
-        side[e] = s
+        side[pos] = s
         sums[s] += data[e]
         cards[s] += 1
 
@@ -216,20 +230,23 @@ def _bipartition(
 
     obj = objective()
     best_obj = obj
-    best_side = dict(side)
+    best_side = side.copy()
+    changed: set = set()
     terminator = max(n, 40)
+    step_cap = max(200 * n, 20_000)
     rejected = 0
     steps = 0
-    while rejected < terminator:
+    while rejected < terminator and steps < step_cap:
         steps += 1
-        e = element_ids[rng.randrange(n)]
-        s = side[e]
+        pos = rng.randrange(n)
+        e = element_ids[pos]
+        s = int(side[pos])
         # tentative move
         sums[s] -= data[e]
         cards[s] -= 1
         sums[1 - s] += data[e]
         cards[1 - s] += 1
-        side[e] = 1 - s
+        side[pos] = 1 - s
         new_obj = objective()
         delta = new_obj - obj
         score = 1.0 / (1.0 + inverse_acceptance * np.exp(neg_scale * delta))
@@ -238,31 +255,79 @@ def _bipartition(
             obj = new_obj
             if obj > best_obj:
                 best_obj = obj
-                best_side = dict(side)
+                for c in changed:
+                    best_side[c] = side[c]
+                best_side[pos] = side[pos]
+                changed.clear()
+            else:
+                changed.add(pos)
         else:
             rejected += 1
-            side[e] = s
+            side[pos] = s
             sums[1 - s] -= data[e]
             cards[1 - s] -= 1
             sums[s] += data[e]
             cards[s] += 1
-    one = [e for e in element_ids if best_side[e] == 0]
-    two = [e for e in element_ids if best_side[e] == 1]
+    one = [e for pos, e in enumerate(element_ids) if best_side[pos] == 0]
+    two = [e for pos, e in enumerate(element_ids) if best_side[pos] == 1]
     return one, two, best_obj, steps
 
 
 def splits_centroids(
-    m: KPopMatrix, max_splits: int, seed: int | None = None
+    m: KPopMatrix,
+    max_splits: int,
+    seed: int | None = None,
+    backend: str = "auto",
 ) -> Splits:
     """Recursive bipartition (lib/Matrix.ml:601-613).  ``max_splits`` is
     ignored by the reference for this algorithm; we keep that behaviour.
-    ``seed`` is a documented deviation for reproducibility."""
+    ``seed`` is a documented deviation for reproducibility.
+
+    ``backend``: "python" (the reference implementation, random.Random
+    stream), "native" (the C++ annealer, ~100x faster per move — the
+    reference's 10^4-10^5-leaf relatedness trees are only feasible here),
+    or "auto" (native above 512 elements when the toolchain is present).
+    Both are deterministic under ``seed`` but use different RNG streams,
+    so their trees differ for the same seed.
+    """
     m.expect(MatrixType.VECTORS)
     data = np.asarray(m.matrix.data, dtype=np.float64)
     res = Splits(list(m.matrix.row_names))
+    if backend not in ("auto", "python", "native"):
+        raise UnknownAlgorithm(f"splits backend {backend!r}")
+    use_native = backend == "native"
+    if backend == "auto" and data.shape[0] > 512:
+        try:
+            from .. import native
+
+            use_native = native.available()
+        except ImportError:
+            use_native = False
+    if use_native:
+        from .. import native
+
+        actual_seed = (
+            seed
+            if seed is not None
+            else random.Random().randrange(1 << 63)
+        )
+        offsets, members, weights = native.splits_centroids(
+            data, actual_seed
+        )
+        for i in range(len(weights)):
+            res.add_split(
+                members[offsets[i] : offsets[i + 1]].tolist(),
+                float(weights[i]),
+            )
+        return res
     rng = random.Random(seed)
 
-    def refine(element_ids: List[int]) -> None:
+    # iterative preorder worklist (one before two), identical emission and
+    # rng order to the recursive form but safe at 10^4-10^5 leaves where
+    # a skewed tree would blow Python's recursion limit
+    stack: List[List[int]] = [list(range(data.shape[0]))]
+    while stack:
+        element_ids = stack.pop()
         if len(element_ids) > 1:
             one, two, obj, _ = _bipartition(data, element_ids, rng)
             if not one or not two:
@@ -271,12 +336,10 @@ def splits_centroids(
                 one, two = element_ids[:mid], element_ids[mid:]
                 obj = 0.0
             res.add_split(one, obj)
-            refine(one)
-            refine(two)
+            stack.append(two)
+            stack.append(one)
         else:
             res.add_split(element_ids, 0.0)
-
-    refine(list(range(data.shape[0])))
     return res
 
 

@@ -59,7 +59,7 @@ def get_lib():
             return None
         # A stale .so (e.g. from a checkout whose mtime ties the source)
         # may predate newer entry points: verify and rebuild once.
-        if not hasattr(lib, "kpop_sparse_create"):
+        if not hasattr(lib, "kpop_splits_centroids"):
             del lib
             if not _build():
                 return None
@@ -67,7 +67,7 @@ def get_lib():
                 lib = ctypes.CDLL(_LIB)
             except OSError:
                 return None
-            if not hasattr(lib, "kpop_sparse_create"):
+            if not hasattr(lib, "kpop_splits_centroids"):
                 return None
         lib.kpop_encode_dna.restype = _i64
         lib.kpop_encode_dna.argtypes = [_u8p, _i64, _i8p]
@@ -143,6 +143,19 @@ def get_lib():
         ]
         lib.kpop_sparse_extract.restype = _i64
         lib.kpop_sparse_extract.argtypes = [ctypes.c_void_p, _u64p, _i64p]
+        lib.kpop_splits_centroids.restype = ctypes.c_void_p
+        lib.kpop_splits_centroids.argtypes = [
+            ctypes.POINTER(ctypes.c_double), _i64, ctypes.c_int32,
+            ctypes.c_uint64,
+        ]
+        lib.kpop_splits_sizes.restype = None
+        lib.kpop_splits_sizes.argtypes = [ctypes.c_void_p, _i64p, _i64p]
+        lib.kpop_splits_fill.restype = None
+        lib.kpop_splits_fill.argtypes = [
+            ctypes.c_void_p, _i64p, _i64p, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.kpop_splits_free.restype = None
+        lib.kpop_splits_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -377,6 +390,36 @@ class SparseCounter:
 
     def clear(self) -> None:
         self._lib.kpop_sparse_clear(self._h)
+
+
+def splits_centroids(data: np.ndarray, seed: int):
+    """Full centroids splits tree over [n, d] embeddings (annealed
+    bipartitions, preorder).  Returns (offsets [S+1], members, weights)."""
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    n, d = data.shape
+    h = lib.kpop_splits_centroids(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, d, ctypes.c_uint64(seed & (2**64 - 1)),
+    )
+    try:
+        n_splits = _i64(0)
+        n_members = _i64(0)
+        lib.kpop_splits_sizes(
+            h, ctypes.byref(n_splits), ctypes.byref(n_members)
+        )
+        offsets = np.empty(n_splits.value + 1, dtype=np.int64)
+        members = np.empty(max(n_members.value, 1), dtype=np.int64)
+        weights = np.empty(max(n_splits.value, 1), dtype=np.float64)
+        lib.kpop_splits_fill(
+            h,
+            offsets.ctypes.data_as(_i64p),
+            members.ctypes.data_as(_i64p),
+            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+    finally:
+        lib.kpop_splits_free(h)
+    return offsets, members[: n_members.value], weights[: n_splits.value]
 
 
 def _names_blob(prefixes):

@@ -771,6 +771,213 @@ void kpop_sparse_count_seq(void* h, const int8_t* codes, int64_t n, int32_t k,
   flush();
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Centroids splits: simulated-annealing bipartition tree (the reference's
+// SplitsAlgorithm.centroids, lib/Matrix.ml:364-522).  The acceptance
+// schedule, objective (|centroid_one - centroid_two| scaled by
+// 1/sqrt(1+|n1-n2|), sums instead of means for sides of cardinality <= 1)
+// and the max(n, 40)-consecutive-rejections terminator match the Python
+// reference implementation in core/splits.py; the RNG is xoshiro-style
+// (deterministic under the seed, but a different stream than CPython's
+// Mersenne Twister, so trajectories differ from the Python backend).
+// Compiled speed makes the reference's 10^4-10^5-leaf relatedness trees
+// feasible: ~100 ns/move vs ~10 us/move in Python.
+
+namespace {
+
+struct SplitsResult {
+  std::vector<int64_t> offsets;  // n_splits + 1
+  std::vector<int64_t> members;
+  std::vector<double> weights;
+};
+
+struct XRng {  // splitmix64-seeded xoshiro256++
+  uint64_t s[4];
+  explicit XRng(uint64_t seed) {
+    for (int i = 0; i < 4; ++i) {
+      seed += 0x9e3779b97f4a7c15ULL;
+      uint64_t z = seed;
+      z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+      z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+      s[i] = z ^ (z >> 31);
+    }
+  }
+  static inline uint64_t rotl(uint64_t x, int k) {
+    return (x << k) | (x >> (64 - k));
+  }
+  inline uint64_t next() {
+    uint64_t r = rotl(s[0] + s[3], 23) + s[0];
+    uint64_t t = s[1] << 17;
+    s[2] ^= s[0];
+    s[3] ^= s[1];
+    s[1] ^= s[2];
+    s[0] ^= s[3];
+    s[2] ^= t;
+    s[3] = rotl(s[3], 45);
+    return r;
+  }
+  inline double uniform() {  // [0, 1)
+    return (double)(next() >> 11) * 0x1.0p-53;
+  }
+  inline int64_t below(int64_t n) {  // unbiased [0, n)
+    uint64_t threshold = (~(uint64_t)0 - (uint64_t)n + 1) % (uint64_t)n;
+    for (;;) {
+      uint64_t r = next();
+      if (r >= threshold) return (int64_t)(r % (uint64_t)n);
+    }
+  }
+};
+
+// One annealed bipartition of ids[0..n): writes sides (0/1) per position,
+// returns the best objective.
+double anneal_bipartition(const double* data, int32_t d, const int64_t* ids,
+                          int64_t n, XRng& rng, int8_t* side,
+                          double p0 = 0.2, double magnif = 10.0) {
+  const double inv_acc = (1.0 - p0) / p0;
+  std::vector<double> sums0(d, 0.0), sums1(d, 0.0);
+  int64_t cards[2] = {0, 0};
+  for (int64_t i = 0; i < n; ++i) {
+    int s = rng.uniform() < 0.5 ? 1 : 0;
+    side[i] = (int8_t)s;
+    const double* row = data + ids[i] * d;
+    double* dst = s ? sums1.data() : sums0.data();
+    for (int32_t j = 0; j < d; ++j) dst[j] += row[j];
+    ++cards[s];
+  }
+  auto objective = [&]() -> double {
+    if (cards[0] == 0 || cards[1] == 0) return 0.0;
+    const double inv0 = cards[0] > 1 ? 1.0 / (double)cards[0] : 1.0;
+    const double inv1 = cards[1] > 1 ? 1.0 / (double)cards[1] : 1.0;
+    double acc = 0.0;
+    for (int32_t j = 0; j < d; ++j)
+      acc += std::fabs(sums0[j] * inv0 - sums1[j] * inv1);
+    int64_t dc = cards[0] - cards[1];
+    return acc / std::sqrt(1.0 + (double)(dc < 0 ? -dc : dc));
+  };
+  double obj = objective();
+  double best_obj = obj;
+  std::vector<int8_t> best(side, side + n);
+  std::vector<int64_t> changed;  // positions flipped since last best
+  const int64_t terminator = n > 40 ? n : 40;
+  // step cap: the reference's rejection-run terminator has vanishing
+  // stopping probability at large n (deltas shrink as 1/n, acceptance
+  // floors at p0) — see core/splits.py::_bipartition for the analysis
+  const int64_t step_cap = 200 * n > 20000 ? 200 * n : 20000;
+  int64_t rejected = 0, steps = 0;
+  while (rejected < terminator && steps < step_cap) {
+    ++steps;
+    int64_t pos = rng.below(n);
+    int s = side[pos];
+    const double* row = data + ids[pos] * d;
+    double* from = s ? sums1.data() : sums0.data();
+    double* to = s ? sums0.data() : sums1.data();
+    for (int32_t j = 0; j < d; ++j) {
+      from[j] -= row[j];
+      to[j] += row[j];
+    }
+    --cards[s];
+    ++cards[1 - s];
+    side[pos] = (int8_t)(1 - s);
+    double new_obj = objective();
+    double score = 1.0 / (1.0 + inv_acc * std::exp(-magnif * (new_obj - obj)));
+    if (rng.uniform() <= score) {
+      rejected = 0;
+      obj = new_obj;
+      if (obj > best_obj) {
+        best_obj = obj;
+        for (int64_t c : changed) best[c] = side[c];
+        best[pos] = side[pos];
+        changed.clear();
+      } else {
+        changed.push_back(pos);
+      }
+    } else {
+      ++rejected;
+      side[pos] = (int8_t)s;
+      for (int32_t j = 0; j < d; ++j) {
+        from[j] += row[j];
+        to[j] -= row[j];
+      }
+      ++cards[s];
+      --cards[1 - s];
+    }
+  }
+  std::copy(best.begin(), best.end(), side);
+  return best_obj;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full centroids splits tree over [n, d] row-major embeddings.  Returns a
+// heap handle; query sizes with kpop_splits_sizes, copy out with
+// kpop_splits_fill, release with kpop_splits_free.  Emission order matches
+// core/splits.py::splits_centroids (preorder, 'one' side first).
+void* kpop_splits_centroids(const double* data, int64_t n, int32_t d,
+                            uint64_t seed) {
+  auto* res = new SplitsResult();
+  res->offsets.push_back(0);
+  XRng rng(seed);
+  std::vector<std::vector<int64_t>> stack;
+  {
+    std::vector<int64_t> all(n);
+    for (int64_t i = 0; i < n; ++i) all[i] = i;
+    stack.push_back(std::move(all));
+  }
+  std::vector<int8_t> side;
+  while (!stack.empty()) {
+    std::vector<int64_t> ids = std::move(stack.back());
+    stack.pop_back();
+    const int64_t m = (int64_t)ids.size();
+    if (m > 1) {
+      side.resize(m);
+      double obj = anneal_bipartition(data, d, ids.data(), m, rng,
+                                      side.data());
+      std::vector<int64_t> one, two;
+      for (int64_t i = 0; i < m; ++i)
+        (side[i] == 0 ? one : two).push_back(ids[i]);
+      if (one.empty() || two.empty()) {  // degenerate: trivial cut
+        one.assign(ids.begin(), ids.begin() + m / 2);
+        two.assign(ids.begin() + m / 2, ids.end());
+        obj = 0.0;
+      }
+      res->members.insert(res->members.end(), one.begin(), one.end());
+      res->offsets.push_back((int64_t)res->members.size());
+      res->weights.push_back(obj);
+      stack.push_back(std::move(two));
+      stack.push_back(std::move(one));
+    } else {
+      res->members.insert(res->members.end(), ids.begin(), ids.end());
+      res->offsets.push_back((int64_t)res->members.size());
+      res->weights.push_back(0.0);
+    }
+  }
+  return res;
+}
+
+void kpop_splits_sizes(void* h, int64_t* n_splits, int64_t* n_members) {
+  auto* res = (SplitsResult*)h;
+  *n_splits = (int64_t)res->weights.size();
+  *n_members = (int64_t)res->members.size();
+}
+
+void kpop_splits_fill(void* h, int64_t* offsets, int64_t* members,
+                      double* weights) {
+  auto* res = (SplitsResult*)h;
+  std::copy(res->offsets.begin(), res->offsets.end(), offsets);
+  std::copy(res->members.begin(), res->members.end(), members);
+  std::copy(res->weights.begin(), res->weights.end(), weights);
+}
+
+void kpop_splits_free(void* h) { delete (SplitsResult*)h; }
+
+}  // extern "C"
+
+extern "C" {
+
 // Extract all (code, count) pairs sorted by code; returns the pair count.
 // Caller sizes the output arrays with kpop_sparse_size.
 int64_t kpop_sparse_extract(void* h, uint64_t* out_codes, int64_t* out_counts) {
