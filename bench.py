@@ -166,6 +166,77 @@ def _bench_large_k_counting(details: dict, log) -> None:
     )
 
 
+def _bench_relatedness(details: dict, log) -> None:
+    """On-chip record for the second reference flagship: the relatedness
+    engine (README.md:1049-1073, 650K queries vs a target DB, ~14 h CPU).
+    Drives the blocked device digest (ops/summaries.py, what
+    `kpop-twistdb --backend jax -s` runs) at 10^5 queries x 10^4 targets x
+    512 dims and records queries/s plus the measured vs-host ratio
+    (host = the float64 golden path on a query subset; per-query cost is
+    linear in queries, so rates compare directly)."""
+    import io
+
+    from kpop_tpu.config import jax_setup
+
+    jax = jax_setup()
+    from kpop_tpu.core.matrix import NamedMatrix
+    from kpop_tpu.core.space import Distance, summarize_rowwise
+    from kpop_tpu.ops.summaries import summarize_rowwise_device
+
+    on_tpu = jax.default_backend() == "tpu"
+    Q = int(os.environ.get("KPOP_BENCH_REL_Q", "100000" if on_tpu else "4096"))
+    T = int(os.environ.get("KPOP_BENCH_REL_T", "10000" if on_tpu else "1024"))
+    D = 512
+    rng = np.random.default_rng(2)
+    dims = ["Dim%d" % (i + 1) for i in range(D)]
+    targets = NamedMatrix(
+        ["t%d" % i for i in range(T)], dims, rng.standard_normal((T, D))
+    )
+    queries = NamedMatrix(
+        ["q%d" % i for i in range(Q)], dims, rng.standard_normal((Q, D))
+    )
+    metric = np.full(D, 1.0 / D)
+    dist = Distance.of_string("euclidean")
+    out = io.StringIO()
+    log("relatedness: %d queries x %d targets x %d dims (device)" % (Q, T, D))
+    t0 = time.perf_counter()
+    n = summarize_rowwise_device(
+        dist, metric, targets, queries, keep_at_most=2, normalize=True,
+        out=out, batch=2048,
+    )
+    dev_s = time.perf_counter() - t0
+    assert n == Q
+    summary_bytes = out.tell()
+    # host golden rate on a subset (linear per query)
+    Qh = max(256, Q // 50)
+    sub = NamedMatrix(queries.row_names[:Qh], dims, queries.data[:Qh])
+    t0 = time.perf_counter()
+    lines = summarize_rowwise(dist, metric, targets, sub, 2, True)
+    host_s = time.perf_counter() - t0
+    assert len(lines) == Qh
+    dev_rate = Q / dev_s
+    host_rate = Qh / host_s
+    details["relatedness"] = {
+        "queries": Q,
+        "targets": T,
+        "dims": D,
+        "device_queries_per_s": round(dev_rate, 1),
+        "host_queries_per_s": round(host_rate, 1),
+        "vs_host": round(dev_rate / host_rate, 1),
+        "summary_bytes": summary_bytes,
+        "wall_s": round(dev_s, 2),
+        "note": "blocked device digest (mean/sd/median/MAD/top-k+z on "
+                "device, host tie-exact formatting) — the "
+                "kpop-twistdb --backend jax -s path; host rate measured "
+                "on a %d-query subset of the same workload" % Qh,
+    }
+    log(
+        "relatedness: device %.1f q/s vs host %.1f q/s (%.1fx), %.1f MB "
+        "summary" % (dev_rate, host_rate, dev_rate / host_rate,
+                     summary_bytes / 1e6)
+    )
+
+
 def main() -> None:
     from kpop_tpu.config import jax_setup
 
@@ -239,6 +310,55 @@ def main() -> None:
                 "host f64 eigh, device phi matmul + download of the "
                 "[K, d] twister",
     }
+    if os.environ.get("KPOP_BENCH_CA_ONLY"):
+        # cross-process compile-cache probe (run by _supervise after the
+        # main child): same shape, fresh process — the wall difference vs
+        # the main child's wall_s_cold is what the persistent compilation
+        # cache (~/.cache/kpop_jax_cache) absorbs across processes
+        print(json.dumps({
+            "ca_only_wall_s": round(ca_cold_s, 3),
+            "table_shape": list(table.shape),
+        }))
+        return
+
+    # ---- Phase B2: the same fit through the HBM-budgeted STREAMED path
+    # (VERDICT r3 #1): a budget below the resident footprint forces
+    # upload->accumulate->discard Gram blocks + a second streamed phi pass.
+    if not os.environ.get("KPOP_BENCH_SKIP_STREAMED_CA"):
+        nk_, ns_ = table.shape
+        n_sh = mesh.devices.size
+        d_est = min(nk_, ns_) - 1
+        resident_dev = nk_ * (ns_ * 1 + d_est * 4) / n_sh
+        budget = int(os.environ.get(
+            "KPOP_BENCH_CA_BUDGET", str(int(resident_dev // 4))
+        ))
+        log("CA training, streamed (budget %d MB/device)" % (budget >> 20))
+        t0 = time.perf_counter()
+        c_s, i_s, _tw_dev, sv_s = ca_fit_sharded(
+            mesh, table, col_weights=col_w, hbm_bytes=budget, phi="device"
+        )
+        ca_stream_s = time.perf_counter() - t0
+        stats = dict(_sharded.LAST_CA_STREAM or {})
+        scale = float(np.max(np.abs(coords))) or 1.0
+        details["ca_train_streamed"] = {
+            "wall_s": round(ca_stream_s, 3),
+            "budget_bytes_per_device": budget,
+            "stream": stats,
+            "coords_max_abs_diff_vs_resident": float(
+                np.max(np.abs(np.abs(c_s) - np.abs(coords))) / scale
+            ),
+            "inertia_max_abs_diff_vs_resident": float(
+                np.max(np.abs(i_s - inertia))
+            ),
+            "note": "same table as ca_train, forced through the "
+                    "upload->accumulate->discard streamed path "
+                    "(phi='device': the twister stays sharded on device, "
+                    "the production train-to-serve handoff mode)",
+        }
+        log(
+            "CA streamed done %.1fs (%s blocks of %s rows)"
+            % (ca_stream_s, stats.get("n_blocks"), stats.get("block_rows"))
+        )
 
     # ---- trained artifacts -> serving parameters ----
     d = len(sv)
@@ -258,19 +378,40 @@ def main() -> None:
     )
     log("serving params built")
 
-    # ---- serving payload: HELD-OUT tips as FASTA byte streams ----
+    # ---- serving payload: HELD-OUT tips as ART-shaped READ SETS ----
+    # Each query is a low-coverage paired-end read set of its tip genome
+    # (tests/data/phylo.py sim_paired_reads: the reference's
+    # art_illumina -p -l 150 shape, 0.2% substitution errors), concatenated
+    # into one FASTA record with 'N' separators — N encodes to a window
+    # break, so the fused pipeline counts exactly the per-read k-mers.
+    # Low coverage + errors put the measured accuracy in a falsifiable
+    # band instead of the saturated 1.000 of whole-genome queries
+    # (reference anchor: 95.3% on real reads, README.md:1083-1085).
+    READ_COVERAGE = float(os.environ.get("KPOP_BENCH_COVERAGE", "1.0"))
+    phylo = _phylo()
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     perm = rng.permutation(len(held_out))
     eval_batches = []  # (truth [B], fasta bytes) covering every held-out tip
+    max_len = 0
     for b0 in range(0, len(held_out) - B + 1, B):
         tips = [held_out[j] for j in perm[b0 : b0 + B]]
-        fasta = b"".join(
-            b">seq%d\n%s\n" % (i, bases[g].tobytes())
-            for i, (_c, g) in enumerate(tips)
-        )
+        records = []
+        for i, (_c, g) in enumerate(tips):
+            r1, r2 = phylo.sim_paired_reads(
+                rng, g.astype(np.int64), coverage=READ_COVERAGE
+            )
+            seq = "N".join(r1 + r2)
+            max_len = max(max_len, len(seq))
+            records.append(b">seq%d\n%s\n" % (i, seq.encode()))
         eval_batches.append(
-            (np.array([c for c, _ in tips], dtype=np.int64), fasta)
+            (np.array([c for c, _ in tips], dtype=np.int64), b"".join(records))
         )
+    Lq = -(-max_len // 256) * 256  # fixed jit width for every batch
+    details["query_shape"] = {
+        "kind": "paired-end read sets (art-shaped, 150 bp, "
+                "%.2gx coverage, 0.2%% errors)" % READ_COVERAGE,
+        "row_width": Lq,
+    }
     truth, payload = eval_batches[0]
 
     from kpop_tpu import native
@@ -283,16 +424,18 @@ def main() -> None:
     def host_encode(payload: bytes = payload) -> np.ndarray:
         if use_native:
             codes, _names, _lens, _consumed = native.fasta_encode_batch(
-                payload, B, L
+                payload, B, Lq
             )
             return codes
-        out = np.empty((B, L), dtype=np.int8)
+        out = np.full((B, Lq), -1, dtype=np.int8)
         pos = 0
         raw = np.frombuffer(payload, dtype=np.uint8)
         for i in range(B):
-            pos = payload.index(b"\n", pos) + 1
-            out[i] = base_map[raw[pos : pos + L]]
-            pos += L + 1
+            pos = payload.index(b"\n", pos) + 1  # skip header
+            end = payload.index(b"\n", pos)
+            n = min(end - pos, Lq)
+            out[i, :n] = base_map[raw[pos : pos + n]]
+            pos = end + 1
         return out
 
     from kpop_tpu.ops.encode import unpack_2bit_batch
@@ -307,7 +450,7 @@ def main() -> None:
     if use_native:
         step_packed = jax.jit(
             lambda p, packed, valid: _step_impl(
-                p, unpack_2bit_batch(packed, valid, L)
+                p, unpack_2bit_batch(packed, valid, Lq)
             )
         )
     else:
@@ -513,15 +656,20 @@ def main() -> None:
         }
         log("large-vocab record %.1f seqs/s" % big_rate)
 
+    if not os.environ.get("KPOP_BENCH_SKIP_RELATEDNESS"):
+        _bench_relatedness(details, log)
+
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "trained count+twist-project+classify throughput, "
-                          "covid-shaped phylo corpus (30kb held-out tips, "
-                          "k=10, %d-kmer trained twister, %d dims, "
-                          "%d classes, top-1 accuracy %.3f over %d tips)"
+                          "covid-shaped phylo corpus (read-set queries: "
+                          "art-shaped 150bp pairs at ~1x coverage of 30kb "
+                          "held-out tips, k=10, %d-kmer trained twister, "
+                          "%d dims, %d classes, top-1 accuracy %.3f over "
+                          "%d read sets)"
                           % (table.shape[0], d, C, acc, total),
                 "value": round(seqs_per_s, 1),
                 "unit": "spectra/s/chip",
@@ -539,12 +687,18 @@ def _supervise() -> int:
     import subprocess
 
     here = os.path.abspath(__file__)
+    thin = {  # retries drop the detail phases, keeping the headline
+        "KPOP_BENCH_BATCHES": "6",
+        "KPOP_BENCH_SKIP_STREAMED_CA": "1",
+        "KPOP_BENCH_SKIP_RELATEDNESS": "1",
+        "KPOP_BENCH_SKIP_LARGEK": "1",
+    }
     attempts = [
-        (900, {}),
+        (1740, {}),
         # tunnel weather varies by many minutes: retry once with a thinner
         # serving phase before surrendering to the labelled CPU fallback
-        (900, {"KPOP_BENCH_BATCHES": "6"}),
-        (600, {"KPOP_PLATFORM": "cpu", "KPOP_BENCH_BATCHES": "2"}),
+        (900, dict(thin)),
+        (600, dict(thin, KPOP_PLATFORM="cpu", KPOP_BENCH_BATCHES="2")),
     ]
     for i, (timeout_s, extra_env) in enumerate(attempts):
         if i:
@@ -571,6 +725,8 @@ def _supervise() -> int:
             data = json.loads(line)
             if extra_env.get("KPOP_PLATFORM") == "cpu":
                 data["unit"] += " (cpu fallback: TPU tunnel stalled)"
+            elif not os.environ.get("KPOP_BENCH_SKIP_CACHE_PROBE"):
+                _cache_probe(here)
             print(json.dumps(data))
             return 0
         sys.stderr.write(
@@ -578,6 +734,72 @@ def _supervise() -> int:
             f"{res.stderr[-500:]}\n"
         )
     return 1
+
+
+def _cache_probe(here: str) -> None:
+    """Cross-process compile-cache record (VERDICT r3 #9): rerun ONLY the
+    CA fit in a fresh process right after the main child populated the
+    persistent compilation cache; the wall distinguishes cold vs
+    cross-process-warm.  Merged into BENCH_DETAILS.json."""
+    import subprocess
+
+    time.sleep(20)  # the finished child may hold the chip briefly
+    env = dict(
+        os.environ,
+        KPOP_BENCH_CHILD="1",
+        KPOP_BENCH_CA_ONLY="1",
+        KPOP_BENCH_SKIP_LARGEK="1",
+        KPOP_CA_DEBUG="1",  # per-phase walls separate compile vs transfer
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, here], env=env, timeout=1500,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("bench: cache probe timed out (skipped)\n")
+        return
+    line = next(
+        (l for l in res.stdout.splitlines() if l.startswith("{")), None
+    )
+    if res.returncode != 0 or not line:
+        sys.stderr.write(
+            "bench: cache probe failed rc=%d: %s\n"
+            % (res.returncode, res.stderr[-300:])
+        )
+        return
+    probe = json.loads(line)
+    # KPOP_CA_DEBUG phase lines, e.g. "ca_fit_sharded[gram]: 12.34 s"
+    phases = dict(
+        m.groups()
+        for m in __import__("re").finditer(
+            r"ca_fit_sharded\[([\w+-]+)\]: ([\d.]+) s", res.stderr
+        )
+    )
+    try:
+        with open(DETAILS_PATH) as f:
+            details = json.load(f)
+    except (OSError, ValueError):
+        details = {}
+    details["ca_train_cross_process_warm"] = {
+        "wall_s": probe["ca_only_wall_s"],
+        "wall_s_cold_same_session": details.get("ca_train", {}).get(
+            "wall_s_cold"
+        ),
+        "phases_s": {k: float(v) for k, v in phases.items()},
+        "note": "fresh-process rerun of the identical sharded CA fit "
+                "immediately after the main run populated the persistent "
+                "compilation cache (~/.cache/kpop_jax_cache); phases_s "
+                "(KPOP_CA_DEBUG) splits upload / gram(+compile) / eigh / "
+                "phi(+download).  r4 finding: wall ~= wall_s_cold with "
+                "gram/phi dominated by REMOTE compiles — the local "
+                "persistent cache does NOT absorb sharded-CA compiles "
+                "across processes through the axon remote-compile "
+                "service; only in-process jit reuse (the "
+                "train_to_serve_handoff wall) avoids them",
+    }
+    with open(DETAILS_PATH, "w") as f:
+        json.dump(details, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

@@ -32,9 +32,20 @@ def _run_child(n_dev: int) -> dict:
     return json.loads(line)
 
 
+def _best_of(n_dev: int, runs: int = 2) -> dict:
+    """Min over repeated child runs: wall times on a shared CI host are
+    contention-noisy; the minimum is the stable contention-free estimate."""
+    results = [_run_child(n_dev) for _ in range(runs)]
+    best = dict(results[0])
+    for r in results[1:]:
+        for key in ("ca_warm_s", "serving_warm_s_per_batch"):
+            best[key] = min(best[key], r[key])
+    return best
+
+
 def test_no_pathological_slowdown_at_8_devices():
-    one = _run_child(1)
-    eight = _run_child(8)
+    one = _best_of(1)
+    eight = _best_of(8)
     assert eight["mesh"] == {"data": 4, "kmer": 2}
     # virtual devices share one CPU: no real speedup guaranteed, but the
     # sharded paths must not regress past fixed dispatch/collective
