@@ -38,6 +38,7 @@ def main(argv=None) -> int:
         "l_or_L": False,
         "output": "",
         "verbose": False,
+        "threads": None,
     }
     p = Parser("KPopCount", "-l <output_vector_label>|-L [OPTIONS]")
     p.sep("Algorithmic parameters")
@@ -124,11 +125,13 @@ def main(argv=None) -> int:
     )
     p.sep("Miscellaneous")
     # The reference declares (but comments out) -t/-T for KPopCount
-    # (bin/KPopCount.ml:188-194); accepted here as an advisory no-op like
-    # the other three CLIs so shared workflow scripts keep working.
+    # (bin/KPopCount.ml:188-194); here it controls the native batch
+    # counter's thread count (default 1: the serial hash merge bounds the
+    # win at low k-mer duplication — opt in on many-core hosts).
     p.opt(["-t", "-T", "--threads"], "<computing_threads>",
-          ["number of concurrent computing threads (advisory; XLA/BLAS decide)"],
-          lambda a: a.get_int_pos())
+          ["number of concurrent computing threads for -l batch counting"],
+          lambda a: state.update(threads=a.get_int_pos()),
+          "1")
     p.opt(["-v", "--verbose"], None, ["set verbose execution"],
           lambda a: (state.update(verbose=True), set_verbose(True)))
     p.opt(["-V", "--version"], None, ["print version and exit"],
@@ -154,6 +157,7 @@ def main(argv=None) -> int:
             out,
             label=state["label"],
             max_results_size=state["max_results_size"],
+            threads=state["threads"],
         )
     finally:
         close_if_owned(out, path)

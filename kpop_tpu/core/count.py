@@ -203,32 +203,115 @@ def _native_sparse_counter(space: KmerSpace):
     return count_into
 
 
+#: flush the -l read batch when the padded encode matrix would exceed this
+BATCH_ENCODE_BYTES = 64 << 20
+
+
 def count_reads(
     inputs: Sequence[ReadsInput],
     space: KmerSpace,
     out: IO[str],
     label: str = "",
     max_results_size: int = DEFAULT_MAX_RESULTS_SIZE,
+    threads: int | None = None,
 ) -> int:
     """Stream reads, count k-mers, write text spectra.  Returns #reads.
 
     ``label == ""`` selects per-sequence (-L) mode, matching the reference's
     convention (bin/KPopCount.ml:39-50).
+
+    ``threads``: in ``-l`` mode, reads are counted in native batches with
+    per-thread hashes (or relaxed-atomic dense adds) merged afterwards —
+    output is byte-identical to the sequential path.  Batching only
+    happens when the -M eviction threshold provably cannot trigger inside
+    the batch (distinct k-mers grow by at most the batched base count), so
+    dump-and-clear timing matches the per-read semantics exactly
+    (bin/KPopCount.ml:116-123).  Default is 1: the reference defaults to
+    nproc, but the serial hash merge bounds the win at low k-mer
+    duplication, and on the measured 2-vCPU dev host nproc is a slight
+    regression — many-core users opt in with -t.
     """
     encoder = content_encoder(space.content)
     acc = SpectrumAccumulator(space)
     native_count = _native_counter(space)
     native_sparse = _native_sparse_counter(space)
+    threads = 1 if threads in (None, 0) else max(1, threads)
     if label != "":
         spectra_io.write_spectrum_header(
             out, strip_external_quotes_and_check(label)
         )
+    protein = space.content == "protein"
+    dense_mode = native_count is not None and acc.dense is not None
+    sparse_mode = native_sparse is not None and acc.native_hash is not None
+    batching = label != "" and (dense_mode or sparse_mode)
+
+    def can_evict() -> bool:
+        if acc.dense is not None:
+            return max_results_size < acc.dense.shape[0]
+        return True
+
+    def check_evict() -> None:
+        if can_evict() and acc.n_distinct >= max_results_size:
+            _dump(acc, out)
+
+    batch: list = []  # [(segments tuple)] per read, -l mode only
+    batch_chars = 0
+    batch_maxlen = 1
+
+    def flush_batch() -> None:
+        nonlocal batch, batch_chars, batch_maxlen
+        if not batch:
+            return
+        from .. import native
+
+        # safe to count the whole batch at once only if eviction cannot
+        # trigger inside it: distinct grows by at most batch_chars
+        if not can_evict() or (
+            acc.n_distinct + batch_chars < max_results_size
+        ):
+            segs = [s for read in batch for s in read]
+            codes = native.encode_batch(segs, protein)
+            if dense_mode:
+                native.count_dense_batch(
+                    codes, space.k, space.canonical, out=acc.dense,
+                    threads=threads,
+                )
+            else:
+                acc.native_hash.count_batch(
+                    codes, space.k, space.canonical, space.base,
+                    threads=threads,
+                )
+            check_evict()
+        else:
+            # eviction may fire mid-batch: per-read, reference timing
+            for read in batch:
+                for seq in read:
+                    if dense_mode:
+                        native_count(seq, acc.dense)
+                    else:
+                        native_sparse(seq, acc)
+                check_evict()
+        batch = []
+        batch_chars = 0
+        batch_maxlen = 1
+
     n_reads = 0
     for tag, segments in iter_reads(inputs):
-        if native_count is not None and acc.dense is not None:
+        if batching:
+            seg_max = max((len(s) for s in segments), default=1)
+            n_flat = sum(len(r) for r in batch) + len(segments)
+            if batch and n_flat * max(batch_maxlen, seg_max) > \
+                    BATCH_ENCODE_BYTES:
+                flush_batch()
+            batch.append(tuple(segments))
+            batch_chars += sum(len(s) for s in segments)
+            batch_maxlen = max(batch_maxlen, seg_max)
+            n_reads += 1
+            continue
+        if dense_mode:
             for seq in segments:
                 native_count(seq, acc.dense)
-        elif native_sparse is not None and acc.native_hash is not None:
+        elif sparse_mode:
             for seq in segments:
                 native_sparse(seq, acc)
         else:
@@ -240,15 +323,10 @@ def count_reads(
                 out, strip_external_quotes_and_check(tag)
             )
             _dump(acc, out)
-        elif (
-            # eviction can only trigger when the table could outgrow -M;
-            # the dense store never can if -M >= 4^k (avoids an O(4^k)
-            # distinct-count scan per read)
-            (acc.dense is None or max_results_size < acc.dense.shape[0])
-            and acc.n_distinct >= max_results_size
-        ):
-            _dump(acc, out)
+        else:
+            check_evict()
     if label != "":
+        flush_batch()
         _dump(acc, out)
     return n_reads
 

@@ -141,6 +141,16 @@ def get_lib():
             ctypes.c_void_p, _i8p, _i64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.kpop_sparse_count_batch.restype = None
+        lib.kpop_sparse_count_batch.argtypes = [
+            ctypes.c_void_p, _i8p, _i64, _i64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.kpop_count_dense_batch_mt.restype = None
+        lib.kpop_count_dense_batch_mt.argtypes = [
+            _i8p, _i64, _i64, ctypes.c_int32, ctypes.c_int32, _i64p,
+            ctypes.c_int32,
+        ]
         lib.kpop_sparse_extract.restype = _i64
         lib.kpop_sparse_extract.argtypes = [ctypes.c_void_p, _u64p, _i64p]
         lib.kpop_splits_centroids.restype = ctypes.c_void_p
@@ -317,17 +327,30 @@ def count_dense(codes: np.ndarray, k: int, canonical: bool) -> np.ndarray:
 
 
 def count_dense_batch(
-    codes: np.ndarray, k: int, canonical: bool, out: np.ndarray | None = None
+    codes: np.ndarray,
+    k: int,
+    canonical: bool,
+    out: np.ndarray | None = None,
+    threads: int = 1,
 ) -> np.ndarray:
-    """Accumulate a [n, L] padded batch into one dense spectrum."""
+    """Accumulate a [n, L] padded batch into one dense spectrum.
+
+    ``threads > 1`` rolls sequence ranges in parallel with relaxed atomic
+    adds — identical counts, reference-style chunk parallelism."""
     lib = get_lib()
     if out is None:
         out = np.zeros(4**k, dtype=np.int64)
     codes = np.ascontiguousarray(codes, dtype=np.int8)
-    lib.kpop_count_dense_batch(
-        codes.ctypes.data_as(_i8p), codes.shape[0], codes.shape[1], k,
-        int(canonical), out.ctypes.data_as(_i64p),
-    )
+    if threads > 1:
+        lib.kpop_count_dense_batch_mt(
+            codes.ctypes.data_as(_i8p), codes.shape[0], codes.shape[1], k,
+            int(canonical), out.ctypes.data_as(_i64p), threads,
+        )
+    else:
+        lib.kpop_count_dense_batch(
+            codes.ctypes.data_as(_i8p), codes.shape[0], codes.shape[1], k,
+            int(canonical), out.ctypes.data_as(_i64p),
+        )
     return out
 
 
@@ -372,6 +395,24 @@ class SparseCounter:
         self._lib.kpop_sparse_count_seq(
             self._h, codes.ctypes.data_as(_i8p), len(codes), k,
             int(canonical), base,
+        )
+
+    def count_batch(
+        self,
+        codes: np.ndarray,
+        k: int,
+        canonical: bool,
+        base: int,
+        threads: int = 1,
+    ) -> None:
+        """Count a padded ``[n, L]`` int8 batch (-1 pad), threaded: each
+        thread counts a sequence range into its own hash, merged here —
+        content identical to the sequential path."""
+        codes = np.ascontiguousarray(codes, dtype=np.int8)
+        n, L = codes.shape
+        self._lib.kpop_sparse_count_batch(
+            self._h, codes.ctypes.data_as(_i8p), n, L, k, int(canonical),
+            base, max(1, threads),
         )
 
     def extract(self):

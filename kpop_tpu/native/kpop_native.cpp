@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -718,9 +719,8 @@ void kpop_sparse_add_codes(void* h, const uint64_t* codes, int64_t n) {
 // the rolling-code twin of kpop_count_dense for DNA (base 4, optional
 // canonical min(fwd, revcomp)) plus the base-20 protein rolling code
 // (fwd' = (fwd*20 + c) mod 20^k; no reverse strand).
-void kpop_sparse_count_seq(void* h, const int8_t* codes, int64_t n, int32_t k,
-                           int32_t canonical, int32_t base) {
-  auto* s = (SparseHash*)h;
+static void sparse_count_into(SparseHash* s, const int8_t* codes, int64_t n,
+                              int32_t k, int32_t canonical, int32_t base) {
   if (k <= 0 || n < k) return;
   // stage rolled codes in a small buffer so add_batch can prefetch buckets
   uint64_t buf[256];
@@ -769,6 +769,96 @@ void kpop_sparse_count_seq(void* h, const int8_t* codes, int64_t n, int32_t k,
     }
   }
   flush();
+}
+
+void kpop_sparse_count_seq(void* h, const int8_t* codes, int64_t n, int32_t k,
+                           int32_t canonical, int32_t base) {
+  sparse_count_into((SparseHash*)h, codes, n, k, canonical, base);
+}
+
+// Threaded batch counting over a padded [n_seqs, stride] int8 matrix
+// (-1 pad, so rows count independently): each thread accumulates a
+// contiguous sequence range into its own hash, then the per-thread hashes
+// merge into the main one.  This is the Processes.Parallel equivalent for
+// the count stage (the reference forks workers per chunk,
+// bin/KPopCountDB.ml:65); merged content is independent of the partition,
+// so output is byte-identical to the sequential path.
+void kpop_sparse_count_batch(void* h, const int8_t* codes, int64_t n_seqs,
+                             int64_t stride, int32_t k, int32_t canonical,
+                             int32_t base, int32_t n_threads) {
+  auto* main_h = (SparseHash*)h;
+  int64_t T = std::min<int64_t>(n_threads > 1 ? n_threads : 1, n_seqs);
+  if (T <= 1) {
+    for (int64_t i = 0; i < n_seqs; ++i)
+      sparse_count_into(main_h, codes + i * stride, stride, k, canonical,
+                        base);
+    return;
+  }
+  std::vector<std::unique_ptr<SparseHash>> parts;
+  parts.reserve(T);
+  const int64_t windows_hint = n_seqs * stride / T + 64;
+  for (int64_t t = 0; t < T; ++t)
+    parts.emplace_back(new SparseHash(std::min<int64_t>(windows_hint,
+                                                        1 << 22)));
+  std::vector<std::thread> ts;
+  const int64_t step = (n_seqs + T - 1) / T;
+  for (int64_t t = 0; t < T; ++t) {
+    ts.emplace_back([&, t] {
+      SparseHash* part = parts[t].get();
+      const int64_t lo = t * step, hi = std::min(n_seqs, lo + step);
+      for (int64_t i = lo; i < hi; ++i)
+        sparse_count_into(part, codes + i * stride, stride, k, canonical,
+                          base);
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (auto& part : parts)
+    for (uint64_t i = 0; i <= part->mask; ++i)
+      if (part->keys[i] != kSparseEmpty)
+        main_h->add(part->keys[i], part->vals[i]);
+}
+
+// Threaded dense batch counting: threads roll over disjoint sequence
+// ranges and accumulate with relaxed atomic adds (collisions on the same
+// k-mer cell are rare at 4^k cells, and int64 relaxed adds commute).
+void kpop_count_dense_batch_mt(const int8_t* codes, int64_t n_seqs,
+                               int64_t length, int32_t k, int32_t canonical,
+                               int64_t* spectrum, int32_t n_threads) {
+  int64_t T = std::min<int64_t>(n_threads > 1 ? n_threads : 1, n_seqs);
+  if (T <= 1 || k > 31) {
+    for (int64_t i = 0; i < n_seqs; ++i)
+      kpop_count_dense(codes + i * length, length, k, canonical, spectrum);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int64_t step = (n_seqs + T - 1) / T;
+  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  const int shift = 2 * (k - 1);
+  for (int64_t t = 0; t < T; ++t) {
+    ts.emplace_back([&, t] {
+      const int64_t lo = t * step, hi = std::min(n_seqs, lo + step);
+      for (int64_t i = lo; i < hi; ++i) {
+        const int8_t* row = codes + i * length;
+        uint64_t fwd = 0, rc = 0;
+        int64_t run = 0;
+        for (int64_t j = 0; j < length; ++j) {
+          int8_t c = row[j];
+          if (c < 0) {
+            run = 0;
+            fwd = rc = 0;
+            continue;
+          }
+          fwd = ((fwd << 2) | (uint64_t)c) & mask;
+          rc = (rc >> 2) | ((uint64_t)(3 - c) << shift);
+          if (++run >= k) {
+            uint64_t code = canonical && rc < fwd ? rc : fwd;
+            __atomic_fetch_add(&spectrum[code], 1, __ATOMIC_RELAXED);
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

@@ -509,3 +509,62 @@ def test_count_reads_large_k_native_matches_numpy(tmp_path):
         assert got == want
         if mrs == 500:
             assert got.count("\t") > 1  # eviction produced duplicate dumps
+
+
+@pytest.mark.parametrize("k,mrs", [(6, 10**9), (6, 400), (18, 10**9), (18, 800)])
+def test_count_reads_batched_threads_byte_identical(tmp_path, k, mrs):
+    """-l mode batched threaded counting (dense atomics / per-thread
+    hashes) must emit byte-identical spectra to the sequential per-read
+    path, including when -M eviction forces the per-read fallback."""
+    import io as _io
+
+    from kpop_tpu.core import count as count_mod
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.io.reads import FastaInput
+
+    rng = np.random.default_rng(10)
+    fa = tmp_path / "r.fasta"
+    with open(fa, "w") as f:
+        for i in range(40):
+            f.write(">r%d\n%s\n" % (i, random_dna(rng, 300)))
+    space = KmerSpace("DNA-ds", k)
+
+    def run(threads, batch_bytes=None):
+        out = _io.StringIO()
+        orig = count_mod.BATCH_ENCODE_BYTES
+        if batch_bytes is not None:
+            count_mod.BATCH_ENCODE_BYTES = batch_bytes
+        try:
+            count_mod.count_reads(
+                [FastaInput(str(fa))], space, out, label="L",
+                max_results_size=mrs, threads=threads,
+            )
+        finally:
+            count_mod.BATCH_ENCODE_BYTES = orig
+        return out.getvalue()
+
+    base = run(threads=1, batch_bytes=1)  # force per-read flushes
+    for threads in (1, 4):
+        got = run(threads=threads)  # large batches
+        assert got == base, (k, mrs, threads)
+
+
+def test_sparse_count_batch_matches_sequential():
+    rng = np.random.default_rng(11)
+    codes = rng.integers(-1, 4, size=(37, 500)).astype(np.int8)
+    a = native.SparseCounter()
+    a.count_batch(codes, 15, True, 4, threads=1)
+    b = native.SparseCounter()
+    b.count_batch(codes, 15, True, 4, threads=5)
+    ca, na = a.extract()
+    cb, nb = b.extract()
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(na, nb)
+
+
+def test_count_dense_batch_mt_matches_sequential():
+    rng = np.random.default_rng(12)
+    codes = rng.integers(-1, 4, size=(33, 400)).astype(np.int8)
+    seq = native.count_dense_batch(codes, 7, True, threads=1)
+    mt = native.count_dense_batch(codes, 7, True, threads=4)
+    np.testing.assert_array_equal(seq, mt)
