@@ -126,8 +126,12 @@ def summarize_rowwise_device(
 ) -> int:
     """Write summary lines for every m2 row vs all m1 rows; returns #rows.
 
-    Exact output parity with :func:`core.space.summarize_rowwise` is tested;
-    ties overflowing the top-K slack fall back to the host per row.
+    Parity with :func:`core.space.summarize_rowwise` is tested: line
+    layout, names, nearest-class sets and tie semantics are exact; the
+    numeric fields carry f32 device error (<= ~2e-4 relative).  Ties
+    overflowing the top-K slack fall back to the host per row.
+    Device dispatch is pipelined two batches deep so upload + digest of
+    the next batch overlap this batch's download + host formatting.
     ``backend="pallas"`` computes euclidean distance blocks with the tiled
     Pallas kernel (one fused HBM pass per tile) instead of the XLA matmul
     expansion; other distances silently use the XLA path.
@@ -149,21 +153,40 @@ def summarize_rowwise_device(
     col_names = m1.row_names
     n_rows = 0
     host_fallbacks = 0
-    for lo in range(0, queries.shape[0], batch):
+    from collections import deque
+
+    from ..utils.progress import Progress
+
+    prog = Progress(
+        "Matrix.summarize_rowwise", "Summarizing distances (device)",
+        queries.shape[0],
+    )
+    # pipeline: dispatch batch i+1 before fetching batch i, so the
+    # host->device upload and device digest of the next batch overlap this
+    # batch's download + host formatting (each tunnel round trip costs
+    # ~RTT + transfer; serializing them dominated the 10^5-query record)
+    pending: deque = deque()
+
+    def _dispatch(lo: int):
         q = queries[lo : lo + batch]
+        return lo, q, _digest_batch(
+            td,
+            jnp.asarray(q, dtype=jnp.float32),
+            md,
+            tnd,
+            kind=distance.kind,
+            power=distance.power,
+            normalize=normalize,
+            k_cap=k_cap,
+            use_pallas=use_pallas,
+        )
+
+    def _drain_one():
+        nonlocal n_rows, host_fallbacks
+        lo, q, digs = pending.popleft()
+        prog.update(lo)
         mean, std, median, mad, top, idx, kth = [
-            np.asarray(x, dtype=np.float64)
-            for x in _digest_batch(
-                td,
-                jnp.asarray(q, dtype=jnp.float32),
-                md,
-                tnd,
-                kind=distance.kind,
-                power=distance.power,
-                normalize=normalize,
-                k_cap=k_cap,
-                use_pallas=use_pallas,
-            )
+            np.asarray(x, dtype=np.float64) for x in digs
         ]
         for j in range(q.shape[0]):
             row_name = m2.row_names[lo + j]
@@ -196,6 +219,14 @@ def summarize_rowwise_device(
                     parts += [col_names[int(idx[j, s])], "%.15g" % d, "%.15g" % z]
             out.write("\t".join(parts) + "\n")
             n_rows += 1
+
+    for lo in range(0, queries.shape[0], batch):
+        pending.append(_dispatch(lo))
+        if len(pending) >= 2:
+            _drain_one()
+    while pending:
+        _drain_one()
+    prog.done("queries.")
     return n_rows + host_fallbacks
 
 
