@@ -222,6 +222,49 @@ def _gram_dd_from_compact_local(
 _CA_FN_CACHE: dict = {}
 
 
+def _sds(shape, dtype, sharding):
+    return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+
+def _compile_parallel(items) -> None:
+    """``items``: list of (cache_key, build_fn) where build_fn() returns a
+    compiled executable.  Missing entries compile CONCURRENTLY in threads:
+    the axon remote-compile service handles parallel requests (measured:
+    two ~11 s compiles finish together in about the time of one), and the
+    jit dispatch cache does NOT reuse AOT executables (measured: a jit
+    call after .lower().compile() recompiled from scratch) — so the cold
+    CA fit calls the compiled objects directly instead of the jits."""
+    import threading
+
+    missing = [(k, b) for k, b in items if k not in _CA_FN_CACHE]
+    if not missing:
+        return
+    if len(missing) == 1:
+        k, b = missing[0]
+        _CA_FN_CACHE[k] = b()
+        return
+    results: dict = {}
+
+    def run(k, b):
+        try:
+            results[k] = b()
+        except Exception as e:  # re-raised on the main thread below
+            results[k] = e
+
+    threads = [
+        threading.Thread(target=run, args=(k, b)) for k, b in missing
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for k, _b in missing:
+        r = results[k]
+        if isinstance(r, Exception):
+            raise r
+        _CA_FN_CACHE[k] = r
+
+
 def _mesh_key(mesh: Mesh) -> tuple:
     """Stable cache key for a mesh: axis layout + the devices' own stable
     identifiers (``id()`` values can be reused after GC, which could alias a
@@ -313,6 +356,144 @@ def _phi_compact_fn_cached(mesh: Mesh, kind: str):
 
         _CA_FN_CACHE[key] = jax.jit(fn, out_shardings=x_sharding)
     return _CA_FN_CACHE[key]
+
+
+def _aot_compact_fns(mesh: Mesh, kind: str, rows: int, ns: int, d: int,
+                     wire_dt):
+    """AOT-compiled (gram, phi) executables for the resident compact path
+    at a concrete shape, compiled CONCURRENTLY (see :func:`_compile_parallel`
+    — the two remote compiles dominate the cold fit wall and the service
+    runs them in parallel).  Falls back to the lazily-jitted functions if
+    AOT lowering is unavailable."""
+    x_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+    row_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS)))
+    rep_sh = NamedSharding(mesh, P(None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    mk = _mesh_key(mesh)
+    gk = ("gramc-aot", kind, rows, ns, mk)
+    pk = ("phic-aot", kind, rows, ns, d, mk)
+    vec_specs = (
+        (_sds((rows,), np.float32, row_sh),) * 4
+        + (_sds((ns,), np.float32, rep_sh),) * 4
+    )
+
+    def build_gram():
+        fn = _gram_compact_fn_cached(mesh, kind)
+        return fn.lower(
+            _sds((rows, ns), wire_dt, x_sh), *vec_specs
+        ).compile()
+
+    def build_phi():
+        fn = _phi_compact_fn_cached(mesh, kind)
+        return fn.lower(
+            _sds((rows, ns), wire_dt, x_sh),
+            *vec_specs,
+            _sds((ns, d), np.float32, rep2),
+            _sds((rows, 1), np.float32, x_sh),
+        ).compile()
+
+    try:
+        _compile_parallel([(gk, build_gram), (pk, build_phi)])
+        return _CA_FN_CACHE[gk], _CA_FN_CACHE[pk]
+    except Exception:  # pragma: no cover - AOT unsupported: lazy jits
+        return (
+            _gram_compact_fn_cached(mesh, kind),
+            _phi_compact_fn_cached(mesh, kind),
+        )
+
+
+def _aot_limb_fns(mesh: Mesh, rows: int, ns: int, d: int):
+    """AOT (gram, phi) pair for the two-limb fallback path at the per-block
+    shape (both limb blocks and phi blocks share it)."""
+    x_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    mk = _mesh_key(mesh)
+    gk = ("gram-aot", rows, ns, mk)
+    pk = ("phi-aot", rows, ns, d, mk)
+
+    def build_gram():
+        fn = _gram_fn_cached(mesh)
+        s = _sds((rows, ns), np.float32, x_sh)
+        return fn.lower(s, s).compile()
+
+    def build_phi():
+        fn = _phi_fn_cached(mesh)
+        return fn.lower(
+            _sds((rows, ns), np.float32, x_sh),
+            _sds((ns, d), np.float32, rep2),
+            _sds((rows, 1), np.float32, x_sh),
+        ).compile()
+
+    try:
+        _compile_parallel([(gk, build_gram), (pk, build_phi)])
+        return _CA_FN_CACHE[gk], _CA_FN_CACHE[pk]
+    except Exception:  # pragma: no cover
+        return _gram_fn_cached(mesh), _phi_fn_cached(mesh)
+
+
+def _aot_stream_fns(
+    mesh: Mesh, kind: str | None, rows: int, ns: int, d: int, wire_dt
+):
+    """AOT (gram-with-carry, phi) pair for the streamed path at the fixed
+    block shape, compiled concurrently before the first upload."""
+    x_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+    row_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS)))
+    rep_sh = NamedSharding(mesh, P(None))
+    rep2 = NamedSharding(mesh, P(None, None))
+    car_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None, None))
+    n_sh = mesh.devices.size
+    mk = _mesh_key(mesh)
+    car_specs = (_sds((n_sh, ns, ns), np.float32, car_sh),) * 2
+    if kind is not None:
+        gk = ("gramc-carry-aot", kind, rows, ns, mk)
+        pk = ("phic-aot", kind, rows, ns, d, mk)
+        vec_specs = (
+            (_sds((rows,), np.float32, row_sh),) * 4
+            + (_sds((ns,), np.float32, rep_sh),) * 4
+        )
+
+        def build_gram():
+            fn = _gram_compact_carry_fn_cached(mesh, kind)
+            return fn.lower(
+                _sds((rows, ns), wire_dt, x_sh), *vec_specs, *car_specs
+            ).compile()
+
+        def build_phi():
+            fn = _phi_compact_fn_cached(mesh, kind)
+            return fn.lower(
+                _sds((rows, ns), wire_dt, x_sh),
+                *vec_specs,
+                _sds((ns, d), np.float32, rep2),
+                _sds((rows, 1), np.float32, x_sh),
+            ).compile()
+
+    else:
+        gk = ("gram-carry-aot", rows, ns, mk)
+        pk = ("phi-aot", rows, ns, d, mk)
+
+        def build_gram():
+            fn = _gram_limbs_carry_fn_cached(mesh)
+            s = _sds((rows, ns), np.float32, x_sh)
+            return fn.lower(s, s, *car_specs).compile()
+
+        def build_phi():
+            fn = _phi_fn_cached(mesh)
+            return fn.lower(
+                _sds((rows, ns), np.float32, x_sh),
+                _sds((ns, d), np.float32, rep2),
+                _sds((rows, 1), np.float32, x_sh),
+            ).compile()
+
+    try:
+        _compile_parallel([(gk, build_gram), (pk, build_phi)])
+        return _CA_FN_CACHE[gk], _CA_FN_CACHE[pk]
+    except Exception:  # pragma: no cover
+        if kind is not None:
+            return (
+                _gram_compact_carry_fn_cached(mesh, kind),
+                _phi_compact_fn_cached(mesh, kind),
+            )
+        return _gram_limbs_carry_fn_cached(mesh), _phi_fn_cached(mesh)
 
 
 #: set by the last dd-path ca_fit_sharded call: "u8"/"u16"/"f32" when the
@@ -597,12 +778,12 @@ def _ca_fit_streamed(
             if on_block is not None:
                 on_block()
 
-    # ---- pass 1: streamed Gram ----
-    gram_fn = (
-        _gram_compact_carry_fn_cached(mesh, kind)
-        if compact_mode
-        else _gram_limbs_carry_fn_cached(mesh)
+    # ---- pass 1: streamed Gram (gram + phi compiled concurrently) ----
+    gram_fn, phi_fn = _aot_stream_fns(
+        mesh, kind if compact_mode else None, blkK, ns, d,
+        compact.dtype if compact_mode else None,
     )
+    tm.mark("compile")
     carry = _zero_carry(mesh, ns)
     pending: deque = deque()
     prog = Progress(
@@ -630,11 +811,6 @@ def _ca_fit_streamed(
     Vs_d = jax.device_put(
         (V / sv_safe[None, :]).astype(np.float32),
         NamedSharding(mesh, P(None, None)),
-    )
-    phi_fn = (
-        _phi_compact_fn_cached(mesh, kind)
-        if compact_mode
-        else _phi_fn_cached(mesh)
     )
     rs_full = (inv_sr * (r > 0)).astype(np.float32)
     host_blocks: list = []
@@ -885,6 +1061,12 @@ def ca_fit_sharded(
         row_sh = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS)))
         rep_sh = NamedSharding(mesh, P(None))
         pad_rows = Xp.shape[0] - nk
+        # compile gram + phi CONCURRENTLY before uploading (the two remote
+        # compiles dominate the cold wall; the service parallelizes them)
+        gram_fn, phi_fn = _aot_compact_fns(
+            mesh, kind, Xp.shape[0], ns, d, Xp.dtype
+        )
+        tm.mark("compile")
 
         def _rowvec(a64):  # dd-split, zero-padded, uploaded
             hi, lo = split_f64(np.pad(a64, (0, pad_rows)))
@@ -906,9 +1088,7 @@ def ca_fit_sharded(
         bh, bl = _colvec(beta)
         vh, vl = _colvec(v)
         tm.mark("compact-upload")
-        accs, comps = _gram_compact_fn_cached(mesh, kind)(
-            Xd, ah, al, uh, ul, bh, bl, vh, vl
-        )
+        accs, comps = gram_fn(Xd, ah, al, uh, ul, bh, bl, vh, vl)
         G = (
             np.asarray(_host(accs), dtype=np.float64)
             - np.asarray(_host(comps), dtype=np.float64)
@@ -919,7 +1099,7 @@ def ca_fit_sharded(
         )
         tm.mark("eigh")
         rs = np.pad((inv_sr * (r > 0)), (0, pad_rows)).astype(np.float32)
-        phi_d = _phi_compact_fn_cached(mesh, kind)(
+        phi_d = phi_fn(
             Xd, ah, al, uh, ul, bh, bl, vh, vl,
             jax.device_put(
                 (V / sv_safe[None, :]).astype(np.float32),
@@ -948,7 +1128,8 @@ def ca_fit_sharded(
         min(-(-nk // n_shards) * n_shards, -(-target // n_shards) * n_shards),
     )
     n_blocks = -(-nk // blkK)
-    gram_fn = _gram_fn_cached(mesh)
+    gram_fn, phi_fn = _aot_limb_fns(mesh, blkK, ns, d)
+    tm.mark("compile")
     hi_blocks = []  # device-resident hi limbs, reused for phi
     gram_parts = []
     for b in range(n_blocks):
@@ -987,7 +1168,6 @@ def ca_fit_sharded(
         NamedSharding(mesh, P(None, None)),
     )
     rs_full = (inv_sr * (r > 0)).astype(np.float32)
-    phi_fn = _phi_fn_cached(mesh)
     phi_blocks = []
     for b, hi_d in enumerate(hi_blocks):
         rs_blk = np.zeros((blkK, 1), np.float32)

@@ -80,15 +80,20 @@ def test_streamed_with_col_weights(mesh):
     _assert_ca_equal(got, want, rtol=1e-5, atol=1e-7)
 
 
-def test_streamed_phi_device(mesh):
+@pytest.mark.parametrize("wire", ["u8", "limbs"])
+def test_streamed_phi_device(mesh, wire):
     from kpop_tpu.parallel import sharded
 
     rng = np.random.default_rng(5)
-    table = rng.integers(0, 100, size=(2048, 5)).astype(np.int32)
+    if wire == "u8":
+        table = rng.integers(0, 100, size=(2048, 5)).astype(np.int32)
+    else:
+        table = rng.random((2048, 5)) + 0.05
     c, i, tw_dev, s = sharded.ca_fit_sharded(
         mesh, table, hbm_bytes=4 << 10, phi="device"
     )
     assert sharded.LAST_CA_STREAM is not None
+    assert sharded.LAST_CA_STREAM["wire"] == wire
     c2, i2, tw_host, s2 = sharded.ca_fit_sharded(mesh, table)
     # device twister is the [K, d] row layout of the host [d, K] transpose
     np.testing.assert_allclose(
