@@ -238,7 +238,7 @@ def main(argv=None) -> int:
           ["RNG seed for the centroids splits annealing",
            "(kpop-tpu extension for reproducibility)"],
           lambda a: (lambda v: act(lambda st: st.update(splits_seed=v)))(
-              int(a.get())))
+              a.get_int()))
     p.opt(
         ["-p", "--splits", "--compute-splits", "--embeddings-to-splits"],
         None,

@@ -298,11 +298,12 @@ def summarize_distance_row(
     Median/MAD use the element at position n//2 of the sorted values.
     """
     n = len(row)
-    mean, stddev, median, mad = mean_std_median_mad(row)
+    srt = np.sort(row)
+    mean, stddev, median, mad = mean_std_median_mad(row, srt=srt)
     order = np.lexsort((np.arange(n), row))  # stable: by distance, then index
     eff_len = 0
     if n and req_len > 0:
-        kth = np.sort(row)[min(req_len, n) - 1]
+        kth = srt[min(req_len, n) - 1]
         eff_len = int((row <= kth).sum())
     parts = [
         row_name,
@@ -446,7 +447,9 @@ def summarize_dmatrix(m: KPopMatrix, keep_at_most: int | None) -> List[str]:
     return summarize_matrix(m.matrix, keep_at_most)
 
 
-def mean_std_median_mad(row: np.ndarray) -> Tuple[float, float, float, float]:
+def mean_std_median_mad(
+    row: np.ndarray, srt: np.ndarray | None = None
+) -> Tuple[float, float, float, float]:
     n = len(row)
     # inf distances (--distance-mode infinity) make inf - inf = nan here on
     # purpose: the digest of an all-inf row is nan, printed as such
@@ -455,7 +458,8 @@ def mean_std_median_mad(row: np.ndarray) -> Tuple[float, float, float, float]:
         stddev = (
             np.sqrt(((row - mean) ** 2).sum() / (n - 1)) if n > 1 else 0.0
         )
-        srt = np.sort(row)
+        if srt is None:
+            srt = np.sort(row)
         median = srt[n // 2] if n else 0.0
         dd = np.sort(np.abs(row - median))
         mad = dd[n // 2] if n else 0.0

@@ -120,10 +120,11 @@ def _digest_compiled(td, md, tnd, batch_sizes, statics: dict):
     """AOT-compile the digest for every batch shape CONCURRENTLY and return
     {B: compiled}.  Through the axon remote-compile tunnel, jit-dispatch
     compiles measured minutes while ``.lower().compile()`` takes seconds
-    and hits the persistent cache (see parallel/sharded._compile_parallel);
-    the full and tail batch shapes compile in parallel threads.  Returns
-    the lazy jit per shape if AOT lowering fails."""
-    import threading
+    and hits the persistent cache; the full and tail batch shapes compile
+    in parallel threads (parallel/sharded._compile_parallel with this
+    module's own cache).  Returns the lazy jit per shape if AOT lowering
+    fails."""
+    from ..parallel.sharded import _compile_parallel
 
     D = td.shape[1]
     keys = {
@@ -132,38 +133,21 @@ def _digest_compiled(td, md, tnd, batch_sizes, statics: dict):
     }
 
     def build(B):
-        return _digest_batch.lower(
-            jax.ShapeDtypeStruct(td.shape, td.dtype),
-            jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct(md.shape, md.dtype),
-            jax.ShapeDtypeStruct(tnd.shape, tnd.dtype),
-            **statics,
-        ).compile()
+        def _build():
+            return _digest_batch.lower(
+                jax.ShapeDtypeStruct(td.shape, td.dtype),
+                jax.ShapeDtypeStruct((B, D), jnp.float32),
+                jax.ShapeDtypeStruct(md.shape, md.dtype),
+                jax.ShapeDtypeStruct(tnd.shape, tnd.dtype),
+                **statics,
+            ).compile()
+
+        return _build
 
     try:
-        missing = [B for B in batch_sizes if keys[B] not in _DIGEST_CACHE]
-        if len(missing) == 1:
-            _DIGEST_CACHE[keys[missing[0]]] = build(missing[0])
-        elif missing:
-            results: dict = {}
-
-            def run(B):
-                try:
-                    results[B] = build(B)
-                except Exception as e:
-                    results[B] = e
-
-            ts = [
-                threading.Thread(target=run, args=(B,)) for B in missing
-            ]
-            for t in ts:
-                t.start()
-            for t in ts:
-                t.join()
-            for B in missing:
-                if isinstance(results[B], Exception):
-                    raise results[B]
-                _DIGEST_CACHE[keys[B]] = results[B]
+        _compile_parallel(
+            [(keys[B], build(B)) for B in batch_sizes], cache=_DIGEST_CACHE
+        )
         return {B: _DIGEST_CACHE[keys[B]] for B in batch_sizes}
     except Exception:  # pragma: no cover - AOT unsupported: lazy jit
         fn = lambda a, b, m, n: _digest_batch(a, b, m, n, **statics)  # noqa

@@ -226,22 +226,26 @@ def _sds(shape, dtype, sharding):
     return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
 
 
-def _compile_parallel(items) -> None:
+def _compile_parallel(items, cache: dict | None = None) -> None:
     """``items``: list of (cache_key, build_fn) where build_fn() returns a
-    compiled executable.  Missing entries compile CONCURRENTLY in threads:
-    the axon remote-compile service handles parallel requests (measured:
-    two ~11 s compiles finish together in about the time of one), and the
-    jit dispatch cache does NOT reuse AOT executables (measured: a jit
-    call after .lower().compile() recompiled from scratch) — so the cold
-    CA fit calls the compiled objects directly instead of the jits."""
+    compiled executable; ``cache`` defaults to the CA function cache (the
+    device digest passes its own).  Missing entries compile CONCURRENTLY
+    in threads: the axon remote-compile service handles parallel requests
+    (measured: two ~11 s compiles finish together in about the time of
+    one), and the jit dispatch cache does NOT reuse AOT executables
+    (measured: a jit call after .lower().compile() recompiled from
+    scratch) — so the cold CA fit calls the compiled objects directly
+    instead of the jits."""
     import threading
 
-    missing = [(k, b) for k, b in items if k not in _CA_FN_CACHE]
+    if cache is None:
+        cache = _CA_FN_CACHE
+    missing = [(k, b) for k, b in items if k not in cache]
     if not missing:
         return
     if len(missing) == 1:
         k, b = missing[0]
-        _CA_FN_CACHE[k] = b()
+        cache[k] = b()
         return
     results: dict = {}
 
@@ -262,7 +266,7 @@ def _compile_parallel(items) -> None:
         r = results[k]
         if isinstance(r, Exception):
             raise r
-        _CA_FN_CACHE[k] = r
+        cache[k] = r
 
 
 def _mesh_key(mesh: Mesh) -> tuple:
@@ -568,8 +572,18 @@ def _hbm_budget(mesh: Mesh) -> int | None:
         try:
             val = int(float(env))
         except ValueError:
-            val = 0
-        return val if val > 0 else None
+            # an unparseable override must not silently DISABLE budgeting
+            # (that is the opposite of what the user asked for): warn and
+            # fall through to the default
+            import sys
+
+            sys.stderr.write(
+                "ca_fit_sharded: ignoring unparseable KPOP_CA_HBM_BYTES=%r; "
+                "using the default budget\n" % env
+            )
+        else:
+            # an explicit 0 (or negative) disables budgeting
+            return val if val > 0 else None
     try:
         stats = mesh.devices.flat[0].memory_stats()
         limit = (stats or {}).get("bytes_limit")
@@ -687,6 +701,13 @@ def _ca_fit_streamed(
     of pinning the whole padded table (the resident fast path), so tables
     bigger than the mesh's combined HBM train instead of OOMing.
 
+    The budget bounds the *wire and intermediate* residency.  With
+    ``phi="device"`` the full ``[K, d]`` float32 twister additionally
+    accumulates on the mesh — it IS the requested output; when its
+    estimated footprint exceeds the budget a warning points at
+    ``phi="host"`` (host-resident twister) or the kmer-sharded serving
+    layout (``parallel/serving.py``).
+
     ``on_block`` (test hook): called after each block's backpressure step —
     the bounded-residency test probes ``jax.live_arrays()`` there.
     """
@@ -791,10 +812,13 @@ def _ca_fit_streamed(
         enabled=True if verbose else None,
     )
     for b in range(n_blocks):
+        # retire block b-2 BEFORE uploading block b: at most two blocks
+        # (b-1 computing, b uploading) are ever device-resident, which is
+        # what _stream_block_rows sizes the budget for
+        _drain(pending, keep=1, sync_idx=0)
         args, refs = _block_arrays(b, for_phi=False)
         carry = gram_fn(*args, *carry)
         pending.append((refs, carry))
-        _drain(pending, keep=2, sync_idx=0)
         prog.update(b + 1)
     _drain(pending, keep=0, sync_idx=0)
     prog.done()
@@ -813,6 +837,18 @@ def _ca_fit_streamed(
         NamedSharding(mesh, P(None, None)),
     )
     rs_full = (inv_sr * (r > 0)).astype(np.float32)
+    if phi == "device":
+        out_dev_bytes = n_blocks * blkK * d * 4 // n_shards
+        if out_dev_bytes > budget_dev:
+            import sys
+
+            sys.stderr.write(
+                "ca_fit_sharded: phi='device' keeps the full [%d, %d] f32 "
+                "twister device-resident (~%d B/device, above the %d B "
+                "budget); use phi='host' or serve through the kmer-sharded "
+                "layout (parallel/serving.py)\n"
+                % (nk, d, out_dev_bytes, budget_dev)
+            )
     host_blocks: list = []
     dev_blocks: list = []
     pending = deque()
@@ -821,6 +857,19 @@ def _ca_fit_streamed(
         enabled=True if verbose else None,
     )
     for b in range(n_blocks):
+        # as in the Gram pass: retire block b-2 before uploading block b so
+        # at most two wire blocks are in flight
+        if phi == "device":
+            _drain(pending, keep=1)
+        elif len(pending) > 1:
+            # the host fetch blocks on ph: natural backpressure
+            oldrefs, oldph = pending.popleft()
+            host_blocks.append(np.asarray(_host(oldph), dtype=np.float64))
+            for a in oldrefs:
+                a.delete()
+            oldph.delete()
+            if on_block is not None:
+                on_block()
         args, refs = _block_arrays(b, for_phi=True)
         rs_blk = np.zeros((blkK, 1), np.float32)
         seg = rs_full[b * blkK : min(nk, (b + 1) * blkK)]
@@ -833,21 +882,7 @@ def _ca_fit_streamed(
         refs = refs + [rs_d]
         if phi == "device":
             dev_blocks.append(ph)
-            pending.append((refs, ph))
-            _drain(pending, keep=2)
-        else:
-            # the host fetch blocks on ph: natural backpressure
-            pending.append((refs, ph))
-            if len(pending) > 2:
-                oldrefs, oldph = pending.popleft()
-                host_blocks.append(
-                    np.asarray(_host(oldph), dtype=np.float64)
-                )
-                for a in oldrefs:
-                    a.delete()
-                oldph.delete()
-                if on_block is not None:
-                    on_block()
+        pending.append((refs, ph))
         prog.update(b + 1)
     if phi == "device":
         _drain(pending, keep=0)

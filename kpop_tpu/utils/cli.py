@@ -72,6 +72,9 @@ class Args:
                 f"found '{raw}'"
             ) from None
 
+    def get_int(self) -> int:
+        return self._next_int()
+
     def get_int_pos(self) -> int:
         v = self._next_int()
         if v <= 0:

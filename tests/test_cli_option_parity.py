@@ -91,3 +91,42 @@ def test_kpop_count_accepts_threads(tmp_path):
         )
         assert res.returncode == 0, res.stderr[-2000:]
         assert res.stdout.startswith("\ts1\n")
+
+
+def test_splits_seed_rejects_garbage_cleanly(tmp_path):
+    """--splits-seed goes through the same ParseError-wrapped int parse as
+    every other numeric option (negative seeds stay legal)."""
+    env = dict(os.environ)
+    env["PATH"] = os.path.join(REPO, "bin") + os.pathsep + env["PATH"]
+    env["PYTHONPATH"] = REPO
+    env.setdefault("KPOP_PLATFORM", "cpu")
+    res = subprocess.run(
+        ["kpop-twistdb", "--splits-seed", "abc"],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode != 0
+    assert "Traceback" not in res.stderr
+    assert "expected an integer" in res.stderr
+
+
+def test_hbm_budget_env_unparseable_falls_through(monkeypatch, capsys):
+    """A typo'd KPOP_CA_HBM_BYTES must not silently DISABLE budgeting: it
+    warns and falls through to the default (None on CPU meshes)."""
+    import jax
+
+    from kpop_tpu.parallel.sharded import _hbm_budget
+    from jax.sharding import Mesh
+
+    mesh = Mesh(
+        __import__("numpy").array(jax.devices("cpu")[:1]), ("data",)
+    )
+    monkeypatch.setenv("KPOP_CA_HBM_BYTES", "8GB")
+    assert _hbm_budget(mesh) is None  # CPU default, not "disabled by typo"
+    assert "unparseable" in capsys.readouterr().err
+    monkeypatch.setenv("KPOP_CA_HBM_BYTES", "0")
+    assert _hbm_budget(mesh) is None  # explicit 0 disables, silently
+    assert "unparseable" not in capsys.readouterr().err
+    monkeypatch.setenv("KPOP_CA_HBM_BYTES", "123456")
+    assert _hbm_budget(mesh) == 123456
