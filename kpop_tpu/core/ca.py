@@ -77,6 +77,9 @@ def fit_ca(table: np.ndarray, n_dims: int | None = None) -> CAResult:
     evals, evecs = evals[order], evecs[:, order]
     d = min(nk, ns) - 1 if n_dims is None else n_dims
     d = max(1, min(d, ns))
+    # total inertia over the FULL spectrum, so n_dims truncation reports
+    # each dim's share of the whole (R ca()'s sv^2/sum(sv^2))
+    total_in = float(np.maximum(evals, 0.0).sum())
     evals = np.maximum(evals[:d], 0.0)
     V = evecs[:, :d]  # right singular vectors of S
     sv = np.sqrt(evals)
@@ -91,7 +94,6 @@ def fit_ca(table: np.ndarray, n_dims: int | None = None) -> CAResult:
     sv_safe = np.where(sv > 0, sv, 1.0)
     phi = (S @ (V / sv_safe[None, :])) / np.sqrt(r_safe)[:, None]  # [nk, d]
     phi = np.where((r > 0)[:, None], phi, 0.0)
-    total_in = evals.sum()
     inertia = evals / total_in if total_in > 0 else evals
     dim_names = ["Dim%d" % (i + 1) for i in range(d)]
     return CAResult(

@@ -145,6 +145,9 @@ def _ca_math(table, n_dims: int):
         precision=jax.lax.Precision.HIGHEST,
     )
     evals, evecs = jnp.linalg.eigh(G)  # ascending
+    # total inertia over the FULL spectrum (so n_dims truncation reports
+    # each dim's share of the whole, matching R ca()'s sv^2/sum(sv^2))
+    total_in = jnp.maximum(evals, 0.0).sum()
     evals = evals[::-1][:n_dims]
     V = evecs[:, ::-1][:, :n_dims]
     evals = jnp.maximum(evals, 0.0)
@@ -161,7 +164,6 @@ def _ca_math(table, n_dims: int):
         / jnp.sqrt(r_safe)[:, None]
     )
     phi = jnp.where((r > 0)[:, None], phi, 0.0)
-    total_in = evals.sum()
     inertia = jnp.where(total_in > 0, evals / total_in, evals)
     return sample_coords, inertia, phi, sv  # phi [K, d] sharded over kmer
 
@@ -942,6 +944,10 @@ def _factor_gram_host(G: np.ndarray, d: int, c_safe: np.ndarray):
     sample coordinates) — shared by both dd upload paths."""
     evals, evecs = np.linalg.eigh(G)
     order = np.argsort(evals)[::-1]
+    # full-spectrum total BEFORE truncation: n_dims-truncated inertia is
+    # each dim's share of the whole (R ca()'s sv^2/sum(sv^2)), not of the
+    # kept dims
+    total_in = float(np.maximum(evals, 0.0).sum())
     evals, evecs = evals[order][:d], evecs[:, order][:, :d]
     evals = np.maximum(evals, 0.0)
     sv = np.sqrt(evals)
@@ -950,7 +956,6 @@ def _factor_gram_host(G: np.ndarray, d: int, c_safe: np.ndarray):
     V = evecs * signs[None, :]
     sample_coords = V * sv[None, :] / np.sqrt(c_safe)[:, None]
     sv_safe = np.where(sv > 0, sv, 1.0)
-    total_in = evals.sum()
     inertia = evals / total_in if total_in > 0 else evals
     return sample_coords, inertia, sv, V, sv_safe
 

@@ -154,3 +154,30 @@ def test_unbudgeted_default_unchanged(mesh):
     sharded.ca_fit_sharded(mesh, table)
     assert sharded.LAST_CA_STREAM is None
     assert sharded.LAST_DD_UPLOAD == "u8"
+
+
+def test_streamed_truncated_dims(mesh):
+    """n_dims truncation through the streamed path (the single-chip
+    flagship mode: full k=12 vocab, leading dims only — the full-dim
+    twister would not fit one device) matches the full fit's leading
+    dims."""
+    from kpop_tpu.parallel import sharded
+
+    rng = np.random.default_rng(7)
+    table = rng.integers(0, 150, size=(3072, 9)).astype(np.int32)
+    c, i, tw, s = sharded.ca_fit_sharded(
+        mesh, table, n_dims=3, hbm_bytes=4 << 10, phi="device"
+    )
+    assert sharded.LAST_CA_STREAM is not None
+    assert np.asarray(tw).shape == (3072, 3)
+    full = fit_ca(table.astype(np.float64))
+    assert i.shape == (3,) and s.shape == (3,)
+    np.testing.assert_allclose(i, full.inertia[:3], rtol=1e-5, atol=1e-7)
+    for j in range(3):
+        a, b = c[:, j], full.sample_coords[:, j]
+        sign = 1.0 if np.dot(a, b) >= 0 else -1.0
+        np.testing.assert_allclose(a, sign * b, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(tw)[:, j], sign * full.twister[j], rtol=1e-3,
+            atol=1e-5,
+        )
