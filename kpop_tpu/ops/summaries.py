@@ -106,11 +106,24 @@ def _digest_batch(
     mean = dmat.mean(axis=1)
     std = jnp.sqrt(((dmat - mean[:, None]) ** 2).sum(axis=1) / max(N - 1, 1))
     srt = jnp.sort(dmat, axis=1)
-    median = srt[:, N // 2]
-    mad = jnp.sort(jnp.abs(dmat - median[:, None]), axis=1)[:, N // 2]
+    h = N // 2
+    median = srt[:, h]
+    # MAD without a second sort: |d - median| over the ASCENDING row is the
+    # merge of two sorted runs, so its upper median (rank h) is the smallest
+    # half-width t whose interval [median - t, median + t] covers h + 1
+    # elements — a contiguous window of srt that always contains index h
+    # (srt[h] has diff 0).  MAD = min over the valid windows of the larger
+    # end-point diff: one elementwise pass instead of an O(N log^2 N)
+    # device sort.  Exact: every candidate IS one of the |d - median|
+    # values, so this returns bit-identical f32 to sort-then-index.
+    W = min(h, N - 1 - h) + 1  # window start j in [0, W)
+    lo_diff = median[:, None] - srt[:, :W]
+    hi_diff = srt[:, h : h + W] - median[:, None]
+    mad = jnp.maximum(lo_diff, hi_diff).min(axis=1)
     k = min(k_cap, N)
     neg_top, idx = jax.lax.top_k(-dmat, k)
-    return mean, std, median, mad, -neg_top, idx, srt[:, min(k, N) - 1]
+    stats = jnp.stack([mean, std, median, mad], axis=1)  # one download
+    return stats, -neg_top, idx
 
 
 _DIGEST_CACHE: dict = {}
@@ -232,9 +245,8 @@ def summarize_rowwise_device(
         nonlocal n_rows, host_fallbacks
         lo, q, digs = pending.popleft()
         prog.update(lo)
-        mean, std, median, mad, top, idx, kth = [
-            np.asarray(x, dtype=np.float64) for x in digs
-        ]
+        stats, top, idx = [np.asarray(x, dtype=np.float64) for x in digs]
+        mean, std, median, mad = stats.T
         for j in range(q.shape[0]):
             row_name = m2.row_names[lo + j]
             # eff_len: whole tie groups until >= req_len

@@ -241,3 +241,31 @@ def test_minkowski_blocked_broadcast_matches(monkeypatch):
     blocked = run()
     summaries_mod._digest_batch.clear_cache()
     assert blocked == full
+
+
+@pytest.mark.parametrize("N", [1, 2, 3, 16, 17, 100, 101])
+def test_mad_window_selection_matches_second_sort(N):
+    """The digest's sort-free MAD (min over length-(N//2+1) windows of the
+    sorted row containing the median index) must be bit-identical to the
+    definitional second sort, including heavy ties and odd/even N."""
+    import jax.numpy as jnp
+
+    from kpop_tpu.ops import summaries as summaries_mod
+
+    rng = np.random.default_rng(N)
+    rows = [
+        rng.standard_normal(N).astype(np.float32),
+        rng.integers(0, 3, N).astype(np.float32),  # heavy ties
+        np.zeros(N, np.float32),
+        np.sort(rng.standard_normal(N).astype(np.float32)),
+    ]
+    for row in rows:
+        srt = jnp.sort(jnp.asarray(row))[None, :]
+        h = N // 2
+        median = srt[:, h]
+        W = min(h, N - 1 - h) + 1
+        lo_diff = median[:, None] - srt[:, :W]
+        hi_diff = srt[:, h : h + W] - median[:, None]
+        got = np.asarray(jnp.maximum(lo_diff, hi_diff).min(axis=1))[0]
+        want = np.sort(np.abs(row - np.asarray(median)[0]))[h]
+        assert got == want, (N, row[:8], got, want)
