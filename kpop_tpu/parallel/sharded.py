@@ -121,7 +121,7 @@ def _gram_dd_local(hi, lo, n_blocks: int = 16, axes: tuple = (), init=None):
     return acc, comp
 
 
-def _ca_math(table, n_dims: int):
+def _ca_math(table, n_dims: int, d_full: int | None = None):
     """The CA factorization on a (possibly sharded) [K, ns] table.
 
     Pure jnp; sharding of ``table`` along axis 0 makes XLA compute the
@@ -145,9 +145,12 @@ def _ca_math(table, n_dims: int):
         precision=jax.lax.Precision.HIGHEST,
     )
     evals, evecs = jnp.linalg.eigh(G)  # ascending
-    # total inertia over the FULL spectrum (so n_dims truncation reports
-    # each dim's share of the whole, matching R ca()'s sv^2/sum(sv^2))
-    total_in = jnp.maximum(evals, 0.0).sum()
+    # total inertia over the non-trivial spectrum (top min(nk,ns)-1: the
+    # trailing eigenvalue is exactly zero in exact arithmetic), so n_dims
+    # truncation reports each dim's share of the whole, matching R ca()'s
+    # sv^2/sum(sv^2) over its nd = min(dim)-1 computed values
+    nd = max(1, min(table.shape) - 1) if d_full is None else d_full
+    total_in = jnp.maximum(evals[::-1][:nd], 0.0).sum()
     evals = evals[::-1][:n_dims]
     V = evecs[:, ::-1][:, :n_dims]
     evals = jnp.maximum(evals, 0.0)
@@ -831,7 +834,9 @@ def _ca_fit_streamed(
     ).sum(axis=0)
     tm.mark("gram-streamed[%d blocks]" % n_blocks)
     # ---- host eigendecomposition (tiny) ----
-    sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(G, d, c_safe)
+    sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(
+        G, d, c_safe, max(1, min(nk, ns) - 1)
+    )
     tm.mark("eigh")
     # ---- pass 2: streamed phi (re-upload each block, then discard) ----
     Vs_d = jax.device_put(
@@ -938,17 +943,23 @@ def _concat_fn_cached(mesh: Mesh, n_blocks: int):
     return _CA_FN_CACHE[key]
 
 
-def _factor_gram_host(G: np.ndarray, d: int, c_safe: np.ndarray):
+def _factor_gram_host(G: np.ndarray, d: int, c_safe: np.ndarray,
+                      d_full: int):
     """Host float64 eigendecomposition of the [ns, ns] Gram + the CA output
     conventions (descending order, deterministic column signs, principal
-    sample coordinates) — shared by both dd upload paths."""
+    sample coordinates) — shared by both dd upload paths.
+
+    ``d_full`` = min(nk, ns) - 1, the non-trivial spectrum size: inertia is
+    normalized over the top ``d_full`` eigenvalues BEFORE truncating to
+    ``d``, so n_dims-truncated fits report each dim's share of the whole
+    (R ca()'s sv^2/sum(sv^2)), not of the kept dims — and the trailing
+    eigenvalue (exactly zero in exact arithmetic) stays out of the total.
+    """
     evals, evecs = np.linalg.eigh(G)
     order = np.argsort(evals)[::-1]
-    # full-spectrum total BEFORE truncation: n_dims-truncated inertia is
-    # each dim's share of the whole (R ca()'s sv^2/sum(sv^2)), not of the
-    # kept dims
-    total_in = float(np.maximum(evals, 0.0).sum())
-    evals, evecs = evals[order][:d], evecs[:, order][:, :d]
+    ev_desc = evals[order]
+    total_in = float(np.maximum(ev_desc[: max(1, d_full)], 0.0).sum())
+    evals, evecs = ev_desc[:d], evecs[:, order][:, :d]
     evals = np.maximum(evals, 0.0)
     sv = np.sqrt(evals)
     signs = np.sign(evecs[np.argmax(np.abs(evecs), axis=0), np.arange(d)])
@@ -1022,10 +1033,11 @@ def ca_fit_sharded(
             table = np.asarray(table) * np.asarray(col_weights)[None, :]
         padded, orig = pad_to_multiple(device_canonical(table), 0, n_shards)
         xs = jax.device_put(padded, x_sharding)
-        key = ("fast", d, _mesh_key(mesh))
+        d_full = max(1, min(nk, ns) - 1)  # from the UNPADDED row count
+        key = ("fast", d, d_full, _mesh_key(mesh))
         if key not in _CA_FN_CACHE:
             _CA_FN_CACHE[key] = jax.jit(
-                lambda t: _ca_math(t, d),
+                lambda t: _ca_math(t, d, d_full),
                 out_shardings=(
                     NamedSharding(mesh, P(None, None)),
                     NamedSharding(mesh, P(None)),
@@ -1135,7 +1147,7 @@ def ca_fit_sharded(
         ).sum(axis=0)
         tm.mark("gram")
         sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(
-            G, d, c_safe
+            G, d, c_safe, max(1, min(nk, ns) - 1)
         )
         tm.mark("eigh")
         rs = np.pad((inv_sr * (r > 0)), (0, pad_rows)).astype(np.float32)
@@ -1199,7 +1211,9 @@ def ca_fit_sharded(
         ).sum(axis=0)
     tm.mark("gram")
     # ---- tiny factorization in host float64 (matches core.ca.fit_ca) ----
-    sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(G, d, c_safe)
+    sample_coords, inertia, sv, V, sv_safe = _factor_gram_host(
+        G, d, c_safe, max(1, min(nk, ns) - 1)
+    )
     tm.mark("eigh")
     # ---- phi = D_r^-1/2 S V Sigma^-1: the big matmul, on device f32,
     # per hi block (kept device-resident above, so no re-upload) ----
