@@ -718,6 +718,31 @@ def main() -> None:
     if not os.environ.get("KPOP_BENCH_SKIP_RELATEDNESS"):
         _bench_relatedness(details, log)
 
+    # a thin retry (phases skipped after a timeout) must not DROP the rich
+    # records of the committed artifact: carry forward any key this run
+    # deliberately skipped, labelled as carried
+    skipped = [
+        k
+        for k, env_name in [
+            ("ca_train_streamed", "KPOP_BENCH_SKIP_STREAMED_CA"),
+            ("relatedness", "KPOP_BENCH_SKIP_RELATEDNESS"),
+            ("large_k_counting", "KPOP_BENCH_SKIP_LARGEK"),
+            ("tunnel", "KPOP_BENCH_SKIP_TUNNEL"),
+        ]
+        if os.environ.get(env_name)
+    ]
+    if skipped:
+        try:
+            with open(DETAILS_PATH) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        for k in skipped:
+            if k in prev and k not in details:
+                details[k] = prev[k]
+                if isinstance(details[k], dict):
+                    details[k]["carried_from_previous_session"] = True
+
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
     print(

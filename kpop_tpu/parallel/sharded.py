@@ -596,6 +596,16 @@ def _hbm_budget(mesh: Mesh) -> int | None:
             return int(limit * 0.6)
     except Exception:
         pass
+    try:
+        if mesh.devices.flat[0].platform == "tpu":
+            # a TPU that doesn't report memory_stats (e.g. reached through
+            # the dev tunnel plugin) must still be budgeted: unbudgeted
+            # means an OOM instead of a streamed fit at flagship shapes.
+            # Assume the smallest current generation (v5e, 16 GB) — a
+            # too-low guess only streams earlier than strictly needed.
+            return int(16e9 * 0.6)
+    except Exception:
+        pass
     return None
 
 

@@ -181,3 +181,26 @@ def test_streamed_truncated_dims(mesh):
             np.asarray(tw)[:, j], sign * full.twister[j], rtol=1e-3,
             atol=1e-5,
         )
+
+
+def test_hbm_budget_tpu_without_memory_stats(monkeypatch):
+    """A TPU device that reports no memory_stats (the dev tunnel plugin)
+    must still get a conservative default budget — unbudgeted would OOM
+    instead of streaming at flagship shapes."""
+    from kpop_tpu.parallel import sharded
+
+    class FakeDev:
+        platform = "tpu"
+
+        def memory_stats(self):
+            return None
+
+    class FakeMesh:
+        devices = np.array([FakeDev()])
+
+    monkeypatch.delenv("KPOP_CA_HBM_BYTES", raising=False)
+    assert sharded._hbm_budget(FakeMesh()) == int(16e9 * 0.6)
+    monkeypatch.setenv("KPOP_CA_HBM_BYTES", "12345678")
+    assert sharded._hbm_budget(FakeMesh()) == 12345678
+    monkeypatch.setenv("KPOP_CA_HBM_BYTES", "0")
+    assert sharded._hbm_budget(FakeMesh()) is None
