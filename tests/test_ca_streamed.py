@@ -204,3 +204,82 @@ def test_hbm_budget_tpu_without_memory_stats(monkeypatch):
     assert sharded._hbm_budget(FakeMesh()) == 12345678
     monkeypatch.setenv("KPOP_CA_HBM_BYTES", "0")
     assert sharded._hbm_budget(FakeMesh()) is None
+
+
+def test_streamed_device_twister_serves(mesh):
+    """The flagship single-chip mode end to end at CI scale: stream-fit a
+    FULL-vocabulary table with truncated dims and phi='device', wire the
+    device-resident twister straight into ClassifierParams (identity LUT:
+    row i = k-mer code i, as in benchmarks/flagship_ca.py), and classify —
+    predictions must match the host float64 golden chain."""
+    import jax.numpy as jnp
+
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.core.space import Distance, normalizations
+    from kpop_tpu.ops.pipeline import (
+        ClassifierParams,
+        count_spectra,
+        distances_to_classes,
+        project,
+        summarize_batch,
+    )
+    from kpop_tpu.parallel import sharded
+
+    k, D = 6, 3
+    space = KmerSpace("DNA-ds", k)
+    NK = space.n_kmers  # full 4^6 code space
+    rng = np.random.default_rng(11)
+    blk = rng.integers(0, 256, size=(NK, 8), dtype=np.uint8)
+    table = np.where(blk < 64, blk, 0).astype(np.uint8)
+    coords, inertia, tw_dev, sv = sharded.ca_fit_sharded(
+        mesh, table, n_dims=D, hbm_bytes=4 << 10, phi="device"
+    )
+    assert sharded.LAST_CA_STREAM is not None
+    assert tuple(tw_dev.shape) == (NK, D)
+    lut = np.arange(NK + 1, dtype=np.int32)  # trash -> row NK
+    metric = np.full(D, 1.0 / D)
+    cls_norms = normalizations(
+        Distance.of_string("euclidean"), metric, coords
+    )
+    params = ClassifierParams(
+        vocab_lut=jnp.asarray(lut),
+        twister=tw_dev,
+        metric=jnp.asarray(metric, jnp.float32),
+        class_coords=jnp.asarray(coords.astype(np.float32)),
+        class_norms=jnp.asarray(cls_norms.astype(np.float32)),
+        k=k,
+        canonical=True,
+    )
+    B, L = 4, 600
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.int8)
+    spectra = count_spectra(params, jnp.asarray(codes))
+    twisted = project(params, spectra)
+    dmat = distances_to_classes(params, twisted)
+    _m, _s, _md, _mad, _top, idx = summarize_batch(dmat, 2)
+    got = np.asarray(idx)[:, 0]
+
+    # host float64 golden chain on the same queries
+    from kpop_tpu.core.count import spectrum_of_sequences
+
+    full = fit_ca(table.astype(np.float64), n_dims=D)
+    bases = np.array(list("ACGT"))
+    want = []
+    for b in range(B):
+        seq = "".join(bases[codes[b]])
+        cs, vs = spectrum_of_sequences(space, [seq])
+        spec = np.zeros(NK)
+        spec[np.asarray(cs, dtype=np.int64)] = vs
+        spec /= spec.sum()
+        tw = spec @ full.twister.T  # [D]
+        d2 = (
+            ((full.sample_coords - tw[None, :]) ** 2) * metric[None, :]
+        ).sum(axis=1)
+        dists = np.sqrt(d2)
+        nq = np.sqrt((tw * tw * metric).sum())
+        nc = cls_norms
+        d2n = (
+            ((full.sample_coords / nc[:, None] - (tw / nq)[None, :]) ** 2)
+            * metric[None, :]
+        ).sum(axis=1)
+        want.append(int(np.argmin(np.sqrt(d2n))))
+    assert list(got) == want, (list(got), want)
