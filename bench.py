@@ -179,13 +179,17 @@ def _bench_tunnel(details: dict, log) -> None:
         return
     dev = jax.devices()[0]
     rng = np.random.default_rng(3)
-    tiny = jax.device_put(np.zeros(8, np.float32), dev)
-    jax.block_until_ready(tiny)
+    # RTT: time tiny device_put round trips.  (device_get of an array that
+    # was device_put from host numpy can short-circuit to a retained host
+    # buffer and read 0 ms; a fresh put must cross the tunnel.)
     rtts = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.perf_counter()
-        jax.device_get(tiny)
+        t = jax.block_until_ready(
+            jax.device_put(np.full(8, i, np.float32), dev)
+        )
         rtts.append(time.perf_counter() - t0)
+        t.delete()
     probe_mb = 128
     x = rng.integers(0, 255, size=(probe_mb << 20,), dtype=np.uint8)
     t0 = time.perf_counter()
@@ -874,15 +878,15 @@ def _cache_probe(here: str) -> None:
         ),
         "phases_s": {k: float(v) for k, v in phases.items()},
         "note": "fresh-process rerun of the identical sharded CA fit "
-                "immediately after the main run populated the persistent "
-                "compilation cache (~/.cache/kpop_jax_cache); phases_s "
-                "(KPOP_CA_DEBUG) splits upload / gram(+compile) / eigh / "
-                "phi(+download).  r4 finding: wall ~= wall_s_cold with "
-                "gram/phi dominated by REMOTE compiles — the local "
-                "persistent cache does NOT absorb sharded-CA compiles "
-                "across processes through the axon remote-compile "
-                "service; only in-process jit reuse (the "
-                "train_to_serve_handoff wall) avoids them",
+                "immediately after the main run; phases_s (KPOP_CA_DEBUG) "
+                "splits upload / gram(+compile) / eigh / phi(+download). "
+                "Compile reuse across processes through the axon "
+                "remote-compile service has proven WEATHER-DEPENDENT: r4 "
+                "sessions recorded both warm >~ cold (586 s cold / 680 s "
+                "probe) and warm << cold (45 s cold after an earlier "
+                "same-session run / 381 s probe minutes later).  Only "
+                "in-process jit reuse (the train_to_serve_handoff wall) "
+                "reliably avoids recompiles",
     }
     with open(DETAILS_PATH, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
