@@ -200,18 +200,30 @@ def _bench_tunnel(details: dict, log) -> None:
     down_s = time.perf_counter() - t0
     assert back[-1] == x[-1]
     xd.delete()
+    down_rate = probe_mb / down_s
+    up_rate = probe_mb / up_s
+    # device_get of a host-put array CAN short-circuit to a retained host
+    # buffer (observed for tiny arrays in this environment); a "download"
+    # vastly faster than the upload is a memcpy, not the tunnel — record
+    # null rather than a bogus calibration
+    down_ok = not (down_rate > 4 * up_rate and down_rate > 1000.0)
     details["tunnel"] = {
         "probe_mb": probe_mb,
-        "upload_mb_per_s": round(probe_mb / up_s, 1),
-        "download_mb_per_s": round(probe_mb / down_s, 1),
+        "upload_mb_per_s": round(up_rate, 1),
+        "download_mb_per_s": round(down_rate, 1) if down_ok else None,
         "rtt_ms_min": round(min(rtts) * 1e3, 1),
         "note": "measured in-session immediately before the CA training "
                 "phases; device transfers ride the axon tunnel, so the "
-                "transfer-bound walls below scale with these rates",
+                "transfer-bound walls below scale with these rates"
+                + ("" if down_ok else
+                   ".  Download probe read a host-buffer memcpy rate "
+                   "(device_get short-circuit) and was discarded"),
     }
     log(
-        "tunnel: up %.0f MB/s, down %.0f MB/s, rtt %.1f ms"
-        % (probe_mb / up_s, probe_mb / down_s, min(rtts) * 1e3)
+        "tunnel: up %.0f MB/s, down %s, rtt %.1f ms"
+        % (up_rate,
+           "%.0f MB/s" % down_rate if down_ok else "short-circuited",
+           min(rtts) * 1e3)
     )
 
 

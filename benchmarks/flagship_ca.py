@@ -135,6 +135,10 @@ def main() -> None:
         summarize_batch,
     )
 
+    # k from the vocabulary size: the identity LUT only covers the code
+    # space when NK == 4^k (off-TPU smoke defaults to 4^8 = 65536)
+    k_eff = round(np.log(NK) / np.log(4))
+    assert 4**k_eff == NK, "KPOP_FLAGSHIP_NK must be a power of 4"
     lut = np.empty(NK + 1, dtype=np.int32)
     lut[:NK] = np.arange(NK, dtype=np.int32)
     lut[NK] = NK  # trash row
@@ -148,7 +152,7 @@ def main() -> None:
         metric=jnp.asarray(metric, jnp.float32),
         class_coords=jnp.asarray(coords.astype(np.float32)),
         class_norms=jnp.asarray(cls_norms.astype(np.float32)),
-        k=12,
+        k=k_eff,
         canonical=True,
     )
 
@@ -214,7 +218,12 @@ def main() -> None:
                     "vocabulary.",
         },
     }
-    out_path = os.path.join(REPO, "BENCH_FLAGSHIP.json")
+    # off-TPU smoke runs must not clobber the committed chip record (it is
+    # rendered into docs/BENCH_TABLES.md and drift-gated)
+    out_path = os.path.join(
+        REPO,
+        "BENCH_FLAGSHIP.json" if on_tpu else "BENCH_FLAGSHIP_SMOKE.json",
+    )
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
     print(json.dumps({"wall_s_fit": round(fit_s, 1),

@@ -606,6 +606,59 @@ void kpop_pack_2bit_batch(const int8_t* codes, int64_t n_seqs, int64_t length,
   }
 }
 
+// Format per-query distance-summary lines (the reference layout,
+// lib/Matrix.ml:632-690, as written by ops/summaries.py):
+//   <name>\t<mean>\t<stddev>\t<median>\t<mad>(\t<target>\t<dist>\t<z>)*eff
+// dists/tgt come pre-ordered per row (distance, then target index);
+// z = (d - mean) / stddev is computed here with the same IEEE double ops
+// as the numpy path.  NaN is forced to "nan" (std::to_chars renders the
+// sign bit as "-nan"; Python's %g never does).  Rows with eff[i] < 0 are
+// skipped entirely — the caller interleaves exact host-fallback lines.
+// Returns bytes written, or -1 if cap could be exceeded.
+int64_t kpop_format_summary(const uint8_t* qblob, const int64_t* qoff,
+                            const int64_t* qlen, const double* stats,
+                            const double* dists, const int32_t* tgt,
+                            const int64_t* eff, int64_t rows, int64_t kcap,
+                            const uint8_t* cblob, const int64_t* coff,
+                            const int64_t* clen, int32_t precision, char* out,
+                            int64_t cap) {
+  const int64_t pv = (int64_t)precision + 14;
+  char* p = out;
+  char* end = out + cap;
+  for (int64_t i = 0; i < rows; ++i) {
+    const int64_t e = eff[i];
+    if (e < 0) continue;
+    const double* drow = dists + i * kcap;
+    const int32_t* trow = tgt + i * kcap;
+    int64_t need = qlen[i] + 4 * (pv + 1) + 2;
+    for (int64_t j = 0; j < e; ++j) need += clen[trow[j]] + 2 * (pv + 1) + 3;
+    if (end - p < need) return -1;
+    std::memcpy(p, qblob + qoff[i], (size_t)qlen[i]);
+    p += qlen[i];
+    const double* st = stats + i * 4;
+    for (int m = 0; m < 4; ++m) {
+      *p++ = '\t';
+      p = std::isnan(st[m]) ? (std::memcpy(p, "nan", 3), p + 3)
+                            : format_g(p, st[m], precision);
+    }
+    const double mean = st[0], sd = st[1];
+    for (int64_t j = 0; j < e; ++j) {
+      *p++ = '\t';
+      std::memcpy(p, cblob + coff[trow[j]], (size_t)clen[trow[j]]);
+      p += clen[trow[j]];
+      *p++ = '\t';
+      p = std::isnan(drow[j]) ? (std::memcpy(p, "nan", 3), p + 3)
+                              : format_g(p, drow[j], precision);
+      const double z = (drow[j] - mean) / sd;
+      *p++ = '\t';
+      p = std::isnan(z) ? (std::memcpy(p, "nan", 3), p + 3)
+                        : format_g(p, z, precision);
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -269,3 +269,62 @@ def test_mad_window_selection_matches_second_sort(N):
         got = np.asarray(jnp.maximum(lo_diff, hi_diff).min(axis=1))[0]
         want = np.sort(np.abs(row - np.asarray(median)[0]))[h]
         assert got == want, (N, row[:8], got, want)
+
+
+def test_native_summary_formatter_byte_identical(monkeypatch):
+    """The C summary-line formatter must emit byte-identical output to the
+    Python %-formatting branch on the same digests — including tie groups,
+    zero-variance rows (nan/inf z-scores), and non-ASCII names."""
+    import kpop_tpu.ops.summaries as summaries_mod
+
+    if not summaries_mod._native_formatter():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    D = 6
+    data = rng.standard_normal((30, D))
+    data[10:15] = data[10]  # a 5-way tie group
+    targets = NamedMatrix(
+        ["té%d" % i for i in range(30)],
+        [f"d{j}" for j in range(D)],
+        data,
+    )
+    qdata = np.concatenate(
+        [rng.standard_normal((6, D)), data[10:11]], axis=0
+    )  # last query coincides with the tie group (distance 0 entries)
+    queries = NamedMatrix(
+        ["qø%d" % i for i in range(7)], [f"d{j}" for j in range(D)], qdata
+    )
+    metric = np.full(D, 1.0 / D)
+    dist = Distance.of_string("euclidean")
+
+    def run():
+        buf = io.StringIO()
+        summarize_rowwise_device(
+            dist, metric, targets, queries, keep_at_most=3, normalize=True,
+            out=buf, batch=4,
+        )
+        return buf.getvalue()
+
+    native_out = run()
+    monkeypatch.setattr(summaries_mod, "_native_formatter", lambda: False)
+    python_out = run()
+    assert native_out == python_out
+
+    # degenerate single identical target: std = 0 -> nan/inf z fields
+    t1 = NamedMatrix(["t0", "t1"], [f"d{j}" for j in range(D)],
+                     np.zeros((2, D)))
+    q1 = NamedMatrix(["q0"], [f"d{j}" for j in range(D)],
+                     np.ones((1, D)))
+
+    def run1():
+        buf = io.StringIO()
+        summarize_rowwise_device(
+            dist, metric, t1, q1, keep_at_most=2, normalize=True, out=buf,
+        )
+        return buf.getvalue()
+
+    monkeypatch.undo()
+    n1 = run1()
+    monkeypatch.setattr(summaries_mod, "_native_formatter", lambda: False)
+    p1 = run1()
+    assert n1 == p1

@@ -32,7 +32,7 @@ def _run_child(n_dev: int) -> dict:
     return json.loads(line)
 
 
-def _best_of(n_dev: int, runs: int = 2) -> dict:
+def _best_of(n_dev: int, runs: int = 3) -> dict:
     """Min over repeated child runs: wall times on a shared CI host are
     contention-noisy; the minimum is the stable contention-free estimate."""
     results = [_run_child(n_dev) for _ in range(runs)]
