@@ -36,6 +36,7 @@ def main(argv=None) -> int:
         "seed": None,
         "verbose": False,
         "backend": "host",
+        "n_dims": None,
     }
     p = Parser(
         "KPopTwist",
@@ -75,6 +76,12 @@ def main(argv=None) -> int:
           ["CA backend: float64 host numpy, or the sharded device path",
            "(k-mer axis over the mesh; kpop-tpu extension)"],
           lambda a: state.update(backend=a.get()), "host")
+    p.opt(["--dims", "--n-dims"], "<positive_integer>",
+          ["keep only this many leading CA dimensions (kpop-tpu",
+           "extension; the single-chip mode for flagship vocabularies,",
+           "where the full-dim twister exceeds one device's HBM —",
+           "inertia stays normalized over the full spectrum)"],
+          lambda a: state.update(n_dims=a.get_int_pos()), "all")
     p.sep("Input/Output")
     p.opt(["-i", "--input"], "<binary_file_prefix>",
           ["k-mer database to twist ('.KPopCounter' unless '/dev/*')"],
@@ -117,6 +124,7 @@ def main(argv=None) -> int:
         normalize=state["normalize"],
         threshold_kmers=state["threshold_kmers"],
         seed=state["seed"],
+        n_dims=state["n_dims"],
     )
     twister, twisted, twisted_kmers = twist_counter_db(
         db, params, backend=state["backend"], verbose=state["verbose"]

@@ -289,6 +289,12 @@ class TwistParameters:
     normalize: bool = True  # --counts-normalize
     threshold_kmers: float = 0.0  # --kmers-threshold
     seed: int | None = None  # sampling RNG (deviation: explicit seed)
+    # kpop-tpu extension (--dims): keep only the leading CA dimensions.
+    # The reference's R ca() keeps all min(dims)-1; truncation is the
+    # single-chip mode for flagship vocabularies, where the full-dim
+    # twister exceeds one device's HBM (benchmarks/flagship_ca.py) —
+    # inertia stays normalized over the full non-trivial spectrum.
+    n_dims: int | None = None
 
 
 def twist_counter_db(
@@ -336,7 +342,8 @@ def twist_counter_db(
     # [8/16] twist
     if backend == "host":
         res = ca_mod.fit_ca(
-            table if col_w is None else table * col_w[None, :]
+            table if col_w is None else table * col_w[None, :],
+            n_dims=params.n_dims,
         )
     elif backend in ("jax", "tpu", "sharded"):
         # device CA: k-mer axis sharded over the full mesh, Gram matrix
@@ -346,7 +353,8 @@ def twist_counter_db(
 
         mesh = make_mesh()
         coords, inertia, tw, sv = ca_fit_sharded(
-            mesh, table, col_weights=col_w, verbose=verbose
+            mesh, table, n_dims=params.n_dims, col_weights=col_w,
+            verbose=verbose,
         )
         res = ca_mod.CAResult(
             sample_coords=coords.astype(np.float64),

@@ -116,3 +116,67 @@ def test_project_entries_debug_lines(capsys):
     assert len(lines) == 2
     assert lines[0].startswith("DEBUG=(lines=1/5/4,")
     assert lines[1].startswith("DEBUG=(lines=2/5/4,")
+
+
+def test_twist_counter_db_n_dims_truncation():
+    """TwistParameters.n_dims (kpop-twist --dims) keeps only the leading
+    CA dimensions on both backends; inertia is each dim's share of the
+    FULL non-trivial spectrum (matches the untruncated fit's leading
+    entries), and the truncated twister projects consistently."""
+    import io
+
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+    from kpop_tpu.core.twister import TwistParameters, twist_counter_db
+
+    rng = np.random.default_rng(3)
+    space = KmerSpace("DNA-ds", 5)
+    db = CounterDB()
+    for c in range(6):
+        codes = rng.choice(space.n_kmers, size=120, replace=False)
+        counts = rng.integers(1, 40, size=120)
+        db.add_spectra_stream(io.StringIO(
+            "\tS%d\n" % c + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(cd)), v)
+                for cd, v in zip(codes, counts))))
+    full_tw, full_coords, _ = twist_counter_db(db)
+    for backend in ("host", "sharded"):
+        params = TwistParameters(n_dims=2)
+        tw, coords, _ = twist_counter_db(db, params, backend=backend)
+        assert len(tw.dim_names) == 2
+        assert np.asarray(coords.matrix.data).shape == (6, 2)
+        inertia = np.asarray(tw.inertia.matrix.data).ravel()
+        full_inertia = np.asarray(full_tw.inertia.matrix.data).ravel()
+        np.testing.assert_allclose(
+            inertia, full_inertia[:2], rtol=1e-5, atol=1e-8
+        )
+        for j in range(2):
+            a = np.asarray(coords.matrix.data)[:, j]
+            b = np.asarray(full_coords.matrix.data)[:, j]
+            sign = 1.0 if float(a @ b) >= 0 else -1.0
+            np.testing.assert_allclose(a, sign * b, rtol=1e-4, atol=1e-6)
+
+
+def test_twist_cli_dims_option(tmp_path):
+    """kpop-twist --dims N writes an N-dim twister/twisted pair."""
+    import io
+
+    from kpop_tpu.cli.twist import main as twist_main
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+
+    rng = np.random.default_rng(4)
+    space = KmerSpace("DNA-ds", 5)
+    db = CounterDB()
+    for c in range(5):
+        codes = rng.choice(space.n_kmers, size=80, replace=False)
+        counts = rng.integers(1, 30, size=80)
+        db.add_spectra_stream(io.StringIO(
+            "\tS%d\n" % c + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(cd)), v)
+                for cd, v in zip(codes, counts))))
+    pre = str(tmp_path / "toy")
+    db.to_binary(pre)
+    assert twist_main(["-i", pre, "-o", pre, "--dims", "3"]) == 0
+    out = Twister.of_binary(pre)
+    assert len(out.dim_names) == 3
