@@ -75,14 +75,16 @@ def fit_ca(table: np.ndarray, n_dims: int | None = None) -> CAResult:
     evals, evecs = np.linalg.eigh(G)  # ascending
     order = np.argsort(evals)[::-1]
     evals, evecs = evals[order], evecs[:, order]
-    d = min(nk, ns) - 1 if n_dims is None else n_dims
-    d = max(1, min(d, ns))
-    # total inertia over the full NON-TRIVIAL spectrum (top min(nk,ns)-1
-    # eigenvalues — centering makes the last one exactly zero in exact
-    # arithmetic, so including it would only add noise), so n_dims
+    # d is capped at the non-trivial spectrum min(nk,ns)-1: centering
+    # makes the trailing eigenvalue exactly zero in exact arithmetic, and
+    # an over-large n_dims request would otherwise keep a pure-noise phi
+    # column (||S v|| ~ sv, so phi = S v / sv cancels to an O(1) garbage
+    # direction that distorts downstream projections)
+    d_full = max(1, min(nk, ns) - 1)
+    d = d_full if n_dims is None else max(1, min(n_dims, d_full))
+    # total inertia over the full non-trivial spectrum, so n_dims
     # truncation reports each dim's share of the whole, matching R ca()'s
     # sv^2/sum(sv^2) over its nd = min(dim)-1 computed values
-    d_full = max(1, min(nk, ns) - 1)
     total_in = float(np.maximum(evals[:d_full], 0.0).sum())
     evals = np.maximum(evals[:d], 0.0)
     V = evecs[:, :d]  # right singular vectors of S

@@ -59,7 +59,8 @@ def get_lib():
             return None
         # A stale .so (e.g. from a checkout whose mtime ties the source)
         # may predate newer entry points: verify and rebuild once.
-        if not hasattr(lib, "kpop_splits_centroids"):
+        # KEEP THIS PROBE AT THE NEWEST ENTRY POINT when adding one.
+        if not hasattr(lib, "kpop_format_summary"):
             del lib
             if not _build():
                 return None
@@ -67,7 +68,7 @@ def get_lib():
                 lib = ctypes.CDLL(_LIB)
             except OSError:
                 return None
-            if not hasattr(lib, "kpop_splits_centroids"):
+            if not hasattr(lib, "kpop_format_summary"):
                 return None
         lib.kpop_encode_dna.restype = _i64
         lib.kpop_encode_dna.argtypes = [_u8p, _i64, _i8p]

@@ -296,16 +296,17 @@ def summarize_rowwise_device(
         top_o = np.take_along_axis(top, order, 1)
         idx_o = np.take_along_axis(idx, order, 1)
         if use_native_fmt:
-            from .. import native as _native
-
             eff_n = np.where(fallback, -1, eff).astype(np.int64)
             blob = _native.format_summary(
                 m2.row_names[lo : lo + B], stats, top_o, idx_o, eff_n,
                 col_blob, col_offs, col_lens,
             ).decode("utf-8")
             if fallback.any():
-                # interleave exact host lines at their row positions
-                lines = blob.splitlines(keepends=True)
+                # interleave exact host lines at their row positions.
+                # Split on '\n' ONLY (the C formatter's one-\n-per-row
+                # contract): str.splitlines also splits on \v, \f, \x85,
+                # U+2028... inside names, which would misalign rows
+                lines = [s + "\n" for s in blob.split("\n")[:-1]]
                 merged, li = [], 0
                 for j in range(B):
                     if fallback[j]:

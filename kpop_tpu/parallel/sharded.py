@@ -1034,8 +1034,10 @@ def ca_fit_sharded(
     test hook called once per retired block.
     """
     nk, ns = table.shape
-    d = min(nk, ns) - 1 if n_dims is None else n_dims
-    d = max(1, min(d, ns))
+    # cap at the non-trivial spectrum (see core/ca.py::fit_ca): an
+    # over-large n_dims would keep a pure-noise phi column
+    d_full = max(1, min(nk, ns) - 1)
+    d = d_full if n_dims is None else max(1, min(n_dims, d_full))
     n_shards = mesh.devices.size
     x_sharding = NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
     if precision == "fast":

@@ -328,3 +328,41 @@ def test_native_summary_formatter_byte_identical(monkeypatch):
     monkeypatch.setattr(summaries_mod, "_native_formatter", lambda: False)
     p1 = run1()
     assert n1 == p1
+
+
+def test_fallback_interleave_with_vertical_tab_names():
+    """Batches mixing tie-overflow host-fallback rows with native-formatted
+    rows must stay row-aligned even when names contain characters that
+    str.splitlines (but not the C formatter) treats as line boundaries."""
+    rng = np.random.default_rng(9)
+    D = 4
+    base = rng.standard_normal((1, D))
+    targets_data = np.concatenate(
+        [np.repeat(base, 17, axis=0), rng.standard_normal((3, D))], axis=0
+    )
+    targets = NamedMatrix(
+        ["t\x0b%d" % i for i in range(20)],
+        [f"d{j}" for j in range(D)],
+        targets_data,
+    )
+    qdata = np.concatenate(
+        [base + 0.01, rng.standard_normal((2, D)), base + 0.01], axis=0
+    )
+    queries = NamedMatrix(
+        ["q\x0b%d" % i for i in range(4)], [f"d{j}" for j in range(D)], qdata
+    )
+    metric = np.full(D, 0.25)
+    dist = Distance.of_string("euclidean")
+    buf = io.StringIO()
+    n = summarize_rowwise_device(
+        dist, metric, targets, queries, keep_at_most=2, normalize=True,
+        out=buf, batch=4,
+    )
+    assert n == 4
+    lines = buf.getvalue().split("\n")[:-1]
+    assert len(lines) == 4
+    for i, ln in enumerate(lines):
+        assert ln.split("\t")[0] == "q\x0b%d" % i, ln[:40]
+    want = summarize_rowwise(dist, metric, targets, queries, keep_at_most=2)
+    for g, w in zip(lines, want):
+        assert g.split("\t")[5::3] == w.split("\t")[5::3], (g, w)
