@@ -218,20 +218,26 @@ def project_reads(
     B, W = idx.shape
     known = (idx < V).astype(jnp.float32)
     acc_counts = known.sum(axis=1)  # [B]
-    tw_ext = jnp.concatenate(
-        [params.twister, jnp.zeros((1, d), params.twister.dtype)], axis=0
-    )
+    # unknown k-mers: clamp the index and zero the contribution via the
+    # known mask — appending a zero row (concatenate) would COPY the whole
+    # twister, which at the flagship 16.7M x d shape is an extra 8+ GB of
+    # HLO temp and an immediate OOM on one chip
     pad = (-W) % chunk
     idx_p = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=V)
+    known_p = jnp.pad(known, ((0, 0), (0, pad)))
     n_chunks = idx_p.shape[1] // chunk
     idx_r = jnp.moveaxis(idx_p.reshape(B, n_chunks, chunk), 1, 0)
+    known_r = jnp.moveaxis(known_p.reshape(B, n_chunks, chunk), 1, 0)
 
-    def body(acc, idx_chunk):
-        contrib = tw_ext[idx_chunk]  # [B, chunk, d] gather
+    def body(acc, xs):
+        idx_chunk, known_chunk = xs
+        safe = jnp.minimum(idx_chunk, V - 1)
+        contrib = params.twister[safe]  # [B, chunk, d] gather, no copy
+        contrib = contrib * known_chunk[..., None].astype(contrib.dtype)
         return acc + contrib.sum(axis=1, dtype=jnp.float32), None
 
     acc0 = jnp.zeros((B, d), jnp.float32)
-    twisted, _ = jax.lax.scan(body, acc0, idx_r)
+    twisted, _ = jax.lax.scan(body, acc0, (idx_r, known_r))
     if normalize:
         twisted = twisted / jnp.where(acc_counts == 0.0, 1.0, acc_counts)[:, None]
     return twisted

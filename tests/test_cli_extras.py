@@ -491,3 +491,54 @@ def test_classify_cosine_device_matches_host_chain(tmp_path):
             except ValueError:
                 continue
             assert abs(fa - fb) < 5e-4 * max(1.0, abs(fb)), (ld, lh)
+
+
+def test_classify_project_path_bag_matches_dense(tmp_path):
+    """kpop-classify --project-path bag (embedding-bag gather, no spectrum
+    materialization) must write the same summary as the dense scatter path
+    up to f32 noise — same classes, same line structure."""
+    import io as _io
+
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+
+    rng = np.random.default_rng(31)
+    k = 6
+    space = KmerSpace("DNA-ds", k)
+    bases = np.array(list("ACGT"))
+    fams = [rng.integers(0, 4, size=500) for _ in range(4)]
+
+    def mut(g, n):
+        g = g.copy()
+        pos = rng.choice(len(g), size=n, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 4, size=n)) % 4
+        return g
+
+    db = CounterDB()
+    for fi, fam in enumerate(fams):
+        seqs = ["".join(bases[mut(fam, 12)]) for _ in range(3)]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(_io.StringIO(
+            "\tF%d\n" % fi + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(c)), v)
+                for c, v in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    (tmp_path / "test.fasta").write_text("\n".join(
+        ">T%d-F%d\n%s" % (i, i % 4, "".join(bases[mut(fams[i % 4], 10)]))
+        for i in range(8)) + "\n")
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    sh("kpop-classify -T TW -t TW --project-path dense -f test.fasta -o D",
+       tmp_path)
+    sh("kpop-classify -T TW -t TW --project-path bag -f test.fasta -o G",
+       tmp_path)
+    dn = (tmp_path / "D.KPopSummary.txt").read_text().splitlines()
+    bg = (tmp_path / "G.KPopSummary.txt").read_text().splitlines()
+    assert len(dn) == len(bg) == 8
+    for a, b in zip(sorted(dn), sorted(bg)):
+        pa, pb = a.split("\t"), b.split("\t")
+        assert pa[0] == pb[0] and pa[5::3] == pb[5::3], (a, b)
+        for fa, fb in zip(pa[1:5], pb[1:5]):
+            assert abs(float(fa) - float(fb)) < 2e-4 * max(
+                1.0, abs(float(fb))
+            )
