@@ -156,10 +156,20 @@ def main() -> None:
         canonical=True,
     )
 
+    from kpop_tpu.ops.pipeline import project_reads
+
     def _step(p, base_codes):
         spectra = count_spectra(p, base_codes)
         twisted = project(p, spectra)
         dmat = distances_to_classes(p, twisted)
+        _mean, _std, _med, _mad, top, idx = summarize_batch(dmat, 2)
+        return idx, top
+
+    def _step_bag(p, base_codes):
+        # the --project-path bag route: no [B, V] spectrum, no full
+        # twister read per batch — at this vocabulary it is the faster
+        # serving layout AND avoids the scatter's minutes-long compile
+        dmat = distances_to_classes(p, project_reads(p, base_codes))
         _mean, _std, _med, _mad, top, idx = summarize_batch(dmat, 2)
         return idx, top
 
@@ -178,6 +188,18 @@ def main() -> None:
     rate = n_iter * B / serve_s
     assert np.asarray(first[0]).shape == (B, 2)
     log("serving %.1f seqs/s device-only at the full-vocab twister" % rate)
+    bag_fn = jax.jit(_step_bag)
+    B2 = 4 * B
+    cd2 = jnp.asarray(rng.integers(0, 4, size=(B2, L)).astype(np.int8))
+    t0 = time.perf_counter()
+    first_bag = jax.device_get(bag_fn(params, cd2))
+    bag_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [bag_fn(params, cd2) for _ in range(n_iter)]
+    jax.device_get(outs[-1])
+    bag_rate = n_iter * B2 / (time.perf_counter() - t0)
+    assert np.asarray(first_bag[0]).shape == (B2, 2)
+    log("serving (bag, B=%d) %.1f seqs/s device-only" % (B2, bag_rate))
 
     record = {
         "flagship_ca_streamed": {
@@ -212,10 +234,14 @@ def main() -> None:
             "dims": DIMS,
             "device_only_seqs_per_s": round(rate, 1),
             "compile_s": round(serve_compile_s, 1),
+            "bag_batch": B2,
+            "bag_device_only_seqs_per_s": round(bag_rate, 1),
+            "bag_compile_s": round(bag_compile_s, 1),
             "note": "count->project->classify jit fed DIRECTLY by the "
                     "device-resident streamed-CA twister (no download / "
                     "re-upload): the train-to-serve handoff at the flagship "
-                    "vocabulary.",
+                    "vocabulary.  The bag variant is the embedding-bag "
+                    "projection (--project-path bag/auto) at 4x the batch.",
         },
     }
     # off-TPU smoke runs must not clobber the committed chip record (it is
