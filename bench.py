@@ -50,6 +50,66 @@ BASELINE_SEQS_PER_S = 13.0  # reference README.md:1049 (~650K seqs / 14 h)
 REPO = os.path.dirname(os.path.abspath(__file__))
 DETAILS_PATH = os.path.join(REPO, "BENCH_DETAILS.json")
 
+# Detail records a killed/thin run may not (re)produce: carried forward from
+# the committed BENCH_DETAILS.json so a thin retry cannot DROP rich records
+# (r4 lesson), with provenance recorded so the generated tables cannot
+# present a stale number as this-session (r3 lesson).
+CARRY_KEYS = (
+    "ca_train_streamed",
+    "relatedness",
+    "large_k_counting",
+    "tunnel",
+    "large_vocab_serving",
+    "train_to_serve_handoff",
+    "ca_train_cross_process_warm",
+    "device_only_seqs_per_s_f32",
+    "device_only_seqs_per_s_bf16",
+    "bf16_top1_matches_f32",
+    "host_encode_ms_per_batch",
+    "serving_serialized_seqs_per_s",
+    "pipelining_speedup",
+    "reconciliation",
+)
+
+
+def _regen_tables() -> None:
+    """Regenerate docs/BENCH_TABLES.md from the just-written artifacts so a
+    bench run (including the driver's post-round one) can never leave the
+    docs drift-gate (tests/test_docs_numbers.py) red."""
+    import subprocess
+
+    gen = os.path.join(REPO, "docs", "gen_bench_tables.py")
+    res = subprocess.run(
+        [sys.executable, gen], capture_output=True, text=True, timeout=60
+    )
+    if res.returncode != 0:
+        sys.stderr.write(
+            "bench: WARNING table regeneration failed: %s\n" % res.stderr[-300:]
+        )
+
+
+def _flush_details(details: dict, prev: dict) -> None:
+    """Atomically write BENCH_DETAILS.json = this run's records, with any
+    CARRY_KEYS records absent so far carried from `prev` (labelled), then
+    regenerate the docs tables.  Called after the headline and after every
+    detail phase, so a kill at ANY point leaves a coherent artifact."""
+    merged = dict(details)
+    carried = []
+    for key in CARRY_KEYS:
+        if key not in merged and key in prev:
+            val = prev[key]
+            if isinstance(val, dict):
+                val = dict(val, carried_from_previous_session=True)
+            merged[key] = val
+            carried.append(key)
+    if carried:
+        merged["carried_keys"] = sorted(carried)
+    tmp = DETAILS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    os.replace(tmp, DETAILS_PATH)
+    _regen_tables()
+
 
 def _phylo():
     spec = importlib.util.spec_from_file_location(
@@ -195,12 +255,23 @@ def _bench_tunnel(details: dict, log) -> None:
     t0 = time.perf_counter()
     xd = jax.block_until_ready(jax.device_put(x, dev))
     up_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    back = jax.device_get(xd)
-    down_s = time.perf_counter() - t0
-    assert back[-1] == x[-1]
+    # download probe: start with a small slice and only scale up while the
+    # measured rate affords it — at the slow end of tunnel weather
+    # (0.2 MB/s recorded in r4) a single 128 MB device_get is ~10 minutes,
+    # which must never block the bench ladder
+    down_mb, down_s = 0, 0.0
+    for slice_mb in (2, 30, 96):
+        if down_mb and down_mb / down_s * 8.0 < slice_mb:
+            break  # projected > 8 s at the measured rate: enough signal
+        lo = down_mb << 20
+        sl = xd[lo : lo + (slice_mb << 20)]
+        t0 = time.perf_counter()
+        back = jax.device_get(sl)
+        down_s += time.perf_counter() - t0
+        assert back[-1] == x[lo + (slice_mb << 20) - 1]
+        down_mb += slice_mb
     xd.delete()
-    down_rate = probe_mb / down_s
+    down_rate = down_mb / down_s
     up_rate = probe_mb / up_s
     # device_get of a host-put array CAN short-circuit to a retained host
     # buffer (observed for tiny arrays in this environment); a "download"
@@ -209,12 +280,14 @@ def _bench_tunnel(details: dict, log) -> None:
     down_ok = not (down_rate > 4 * up_rate and down_rate > 1000.0)
     details["tunnel"] = {
         "probe_mb": probe_mb,
+        "download_probe_mb": down_mb,
         "upload_mb_per_s": round(up_rate, 1),
         "download_mb_per_s": round(down_rate, 1) if down_ok else None,
         "rtt_ms_min": round(min(rtts) * 1e3, 1),
-        "note": "measured in-session immediately before the CA training "
-                "phases; device transfers ride the axon tunnel, so the "
-                "transfer-bound walls below scale with these rates"
+        "note": "measured in the same session as the CA/serving walls "
+                "(after the headline; device transfers ride the axon "
+                "tunnel, so the transfer-bound walls scale with these "
+                "rates).  Download probe is adaptively sized (<= 10 s)"
                 + ("" if down_ok else
                    ".  Download probe read a host-buffer memcpy rate "
                    "(device_get short-circuit) and was discarded"),
@@ -356,13 +429,14 @@ def main() -> None:
     }
     log("corpus ready: vocab %d, %d held-out tips"
         % (table.shape[0], len(held_out)))
-    if not os.environ.get("KPOP_BENCH_SKIP_LARGEK"):
-        _bench_large_k_counting(details, log)
+    try:
+        with open(DETAILS_PATH) as f:
+            prev_details = json.load(f)
+    except (OSError, ValueError):
+        prev_details = {}
 
     # ---- Phase B: on-device CA training (the CA-SVD wall-time north star) --
     mesh = make_mesh()
-    if not os.environ.get("KPOP_BENCH_SKIP_TUNNEL"):
-        _bench_tunnel(details, log)
     # normalize columns like the KPopTwist driver default (src/KPopTwist:92-94)
     # — as col_weights, so the integer count table rides the compact wire path
     csums = table.sum(axis=0)
@@ -395,45 +469,6 @@ def main() -> None:
             "table_shape": list(table.shape),
         }))
         return
-
-    # ---- Phase B2: the same fit through the HBM-budgeted STREAMED path
-    # (VERDICT r3 #1): a budget below the resident footprint forces
-    # upload->accumulate->discard Gram blocks + a second streamed phi pass.
-    if not os.environ.get("KPOP_BENCH_SKIP_STREAMED_CA"):
-        nk_, ns_ = table.shape
-        n_sh = mesh.devices.size
-        d_est = min(nk_, ns_) - 1
-        resident_dev = nk_ * (ns_ * 1 + d_est * 4) / n_sh
-        budget = int(os.environ.get(
-            "KPOP_BENCH_CA_BUDGET", str(int(resident_dev // 4))
-        ))
-        log("CA training, streamed (budget %d MB/device)" % (budget >> 20))
-        t0 = time.perf_counter()
-        c_s, i_s, _tw_dev, sv_s = ca_fit_sharded(
-            mesh, table, col_weights=col_w, hbm_bytes=budget, phi="device"
-        )
-        ca_stream_s = time.perf_counter() - t0
-        stats = dict(_sharded.LAST_CA_STREAM or {})
-        scale = float(np.max(np.abs(coords))) or 1.0
-        details["ca_train_streamed"] = {
-            "wall_s": round(ca_stream_s, 3),
-            "budget_bytes_per_device": budget,
-            "stream": stats,
-            "coords_max_abs_diff_vs_resident": float(
-                np.max(np.abs(np.abs(c_s) - np.abs(coords))) / scale
-            ),
-            "inertia_max_abs_diff_vs_resident": float(
-                np.max(np.abs(i_s - inertia))
-            ),
-            "note": "same table as ca_train, forced through the "
-                    "upload->accumulate->discard streamed path "
-                    "(phi='device': the twister stays sharded on device, "
-                    "the production train-to-serve handoff mode)",
-        }
-        log(
-            "CA streamed done %.1fs (%s blocks of %s rows)"
-            % (ca_stream_s, stats.get("n_blocks"), stats.get("block_rows"))
-        )
 
     # ---- trained artifacts -> serving parameters ----
     d = len(sv)
@@ -578,6 +613,29 @@ def main() -> None:
                     "device pipeline + prediction download",
     }
 
+    # ---- HEADLINE: printed the moment it exists (VERDICT r4 #1).  Every
+    # phase below is best-effort detail; the supervisor may kill this child
+    # at its budget deadline and the round still has its number.
+    print(
+        json.dumps(
+            {
+                "metric": "trained count+twist-project+classify throughput, "
+                          "covid-shaped phylo corpus (read-set queries: "
+                          "art-shaped 150bp pairs at ~1x coverage of 30kb "
+                          "held-out tips, k=10, %d-kmer trained twister, "
+                          "%d dims, %d classes, top-1 accuracy %.3f over "
+                          "%d read sets)"
+                          % (table.shape[0], d, C, acc, total),
+                "value": round(seqs_per_s, 1),
+                "unit": "spectra/s/chip",
+                "vs_baseline": round(seqs_per_s / BASELINE_SEQS_PER_S, 1),
+            }
+        ),
+        flush=True,
+    )
+    _flush_details(details, prev_details)
+    log("headline out; detail phases (best-effort) follow")
+
     # ---- Phase D: breakdown (reconciling e2e vs device-only numbers) ----
     t0 = time.perf_counter()
     for _ in range(n_batches):
@@ -614,6 +672,7 @@ def main() -> None:
     details["pipelining_speedup"] = round(seqs_per_s / ser, 3)
 
     details["device_only_seqs_per_s_f32"] = round(device_only(params, 20), 1)
+    _flush_details(details, prev_details)
 
     # train-to-serve handoff: retrain with the twister kept ON DEVICE
     # (phi="device" skips the [K, d] download and the serving re-upload)
@@ -671,6 +730,47 @@ def main() -> None:
         "corpus shapes (round 2: star-topology mutants of one root) and "
         "are superseded by this covid-shaped phylo pair."
     )
+    _flush_details(details, prev_details)
+
+    # ---- Phase B2: the same fit through the HBM-budgeted STREAMED path
+    # (VERDICT r3 #1): a budget below the resident footprint forces
+    # upload->accumulate->discard Gram blocks + a second streamed phi pass.
+    if not os.environ.get("KPOP_BENCH_SKIP_STREAMED_CA"):
+        nk_, ns_ = table.shape
+        n_sh = mesh.devices.size
+        d_est = min(nk_, ns_) - 1
+        resident_dev = nk_ * (ns_ * 1 + d_est * 4) / n_sh
+        budget = int(os.environ.get(
+            "KPOP_BENCH_CA_BUDGET", str(int(resident_dev // 4))
+        ))
+        log("CA training, streamed (budget %d MB/device)" % (budget >> 20))
+        t0 = time.perf_counter()
+        c_s, i_s, _tw_dev, sv_s = ca_fit_sharded(
+            mesh, table, col_weights=col_w, hbm_bytes=budget, phi="device"
+        )
+        ca_stream_s = time.perf_counter() - t0
+        stats = dict(_sharded.LAST_CA_STREAM or {})
+        scale = float(np.max(np.abs(coords))) or 1.0
+        details["ca_train_streamed"] = {
+            "wall_s": round(ca_stream_s, 3),
+            "budget_bytes_per_device": budget,
+            "stream": stats,
+            "coords_max_abs_diff_vs_resident": float(
+                np.max(np.abs(np.abs(c_s) - np.abs(coords))) / scale
+            ),
+            "inertia_max_abs_diff_vs_resident": float(
+                np.max(np.abs(i_s - inertia))
+            ),
+            "note": "same table as ca_train, forced through the "
+                    "upload->accumulate->discard streamed path "
+                    "(phi='device': the twister stays sharded on device, "
+                    "the production train-to-serve handoff mode)",
+        }
+        log(
+            "CA streamed done %.1fs (%s blocks of %s rows)"
+            % (ca_stream_s, stats.get("n_blocks"), stats.get("block_rows"))
+        )
+        _flush_details(details, prev_details)
 
     # ---- Phase E: serving at a >= 2M-row k=12 vocabulary (TB scale) ----
     if os.environ.get("KPOP_PLATFORM") != "cpu":
@@ -730,63 +830,105 @@ def main() -> None:
                     "table.",
         }
         log("large-vocab record %.1f seqs/s" % big_rate)
+        _flush_details(details, prev_details)
 
     if not os.environ.get("KPOP_BENCH_SKIP_RELATEDNESS"):
         _bench_relatedness(details, log)
+        _flush_details(details, prev_details)
 
-    # a thin retry (phases skipped after a timeout) must not DROP the rich
-    # records of the committed artifact: carry forward any key this run
-    # deliberately skipped, labelled as carried
-    skipped = [
-        k
-        for k, env_name in [
-            ("ca_train_streamed", "KPOP_BENCH_SKIP_STREAMED_CA"),
-            ("relatedness", "KPOP_BENCH_SKIP_RELATEDNESS"),
-            ("large_k_counting", "KPOP_BENCH_SKIP_LARGEK"),
-            ("tunnel", "KPOP_BENCH_SKIP_TUNNEL"),
-        ]
-        if os.environ.get(env_name)
-    ]
-    if skipped:
-        try:
-            with open(DETAILS_PATH) as f:
-                prev = json.load(f)
-        except (OSError, ValueError):
-            prev = {}
-        for k in skipped:
-            if k in prev and k not in details:
-                details[k] = prev[k]
-                if isinstance(details[k], dict):
-                    details[k]["carried_from_previous_session"] = True
-
-    with open(DETAILS_PATH, "w") as f:
-        json.dump(details, f, indent=1, sort_keys=True)
-    print(
-        json.dumps(
-            {
-                "metric": "trained count+twist-project+classify throughput, "
-                          "covid-shaped phylo corpus (read-set queries: "
-                          "art-shaped 150bp pairs at ~1x coverage of 30kb "
-                          "held-out tips, k=10, %d-kmer trained twister, "
-                          "%d dims, %d classes, top-1 accuracy %.3f over "
-                          "%d read sets)"
-                          % (table.shape[0], d, C, acc, total),
-                "value": round(seqs_per_s, 1),
-                "unit": "spectra/s/chip",
-                "vs_baseline": round(seqs_per_s / BASELINE_SEQS_PER_S, 1),
-            }
-        )
-    )
+    if not os.environ.get("KPOP_BENCH_SKIP_LARGEK"):
+        _bench_large_k_counting(details, log)
+    if not os.environ.get("KPOP_BENCH_SKIP_TUNNEL"):
+        _bench_tunnel(details, log)
+    _flush_details(details, prev_details)
+    log("all detail phases done")
 
 
 def _supervise() -> int:
-    """Run the benchmark in a watchdogged subprocess: the dev TPU tunnel's
-    compile service sometimes stalls for many minutes, and a hung XLA
-    compile cannot be interrupted in-process.  Falls back to a (labelled)
-    CPU measurement so a result is always produced."""
+    """Run the benchmark in a watchdogged subprocess under a HARD total
+    budget (VERDICT r4 #1: the r4 ladder's worst case outran the driver's
+    timeout and the round recorded rc=124 with no number).
+
+    - The child prints the headline JSON the moment the timed serving pass
+      completes (everything after is best-effort detail); the supervisor
+      STREAMS child output and forwards that line immediately, so the
+      number is out even if the driver kills us a second later.
+    - The whole ladder (attempts + inter-attempt sleeps + cache probe +
+      CPU fallback) fits inside KPOP_BENCH_BUDGET_S (default 1400 s).
+    - A child that produced the headline but is still in detail phases at
+      the budget deadline is killed and the run still counts as success
+      (details flushed incrementally by the child).
+    - Child stderr is forwarded live (a silent bench is unobservable)."""
     import subprocess
+    import threading
 
     here = os.path.abspath(__file__)
+    budget = float(os.environ.get("KPOP_BENCH_BUDGET_S", "1400"))
+    t_start = time.monotonic()
+    deadline = t_start + budget
+    cpu_reserve = 300.0  # kept for the labelled CPU fallback
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    def run_attempt(extra_env: dict, headline_by: float, hard_by: float):
+        """Start a child; forward stderr live; forward the headline JSON
+        line the moment it appears.  Kill at `headline_by` if no headline
+        yet, else at `hard_by`.  Returns True iff a headline went out."""
+        env = dict(os.environ, KPOP_BENCH_CHILD="1", **extra_env)
+        proc = subprocess.Popen(
+            [sys.executable, here], env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        state = {"headline": False}
+
+        def _pump_err():
+            for line in proc.stderr:
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        def _pump_out():
+            for line in proc.stdout:
+                s = line.strip()
+                if (
+                    not state["headline"]
+                    and s.startswith("{")
+                    and '"metric"' in s
+                ):
+                    data = json.loads(s)
+                    if extra_env.get("KPOP_PLATFORM") == "cpu":
+                        data["unit"] += " (cpu fallback: TPU tunnel stalled)"
+                    print(json.dumps(data), flush=True)
+                    state["headline"] = True
+
+        terr = threading.Thread(target=_pump_err, daemon=True)
+        tout = threading.Thread(target=_pump_out, daemon=True)
+        terr.start()
+        tout.start()
+        while proc.poll() is None:
+            now = time.monotonic()
+            cutoff = hard_by if state["headline"] else headline_by
+            if now >= cutoff:
+                sys.stderr.write(
+                    "bench: killing child at %s deadline (headline %s)\n"
+                    % ("detail" if state["headline"] else "headline",
+                       "out" if state["headline"] else "NOT out")
+                )
+                proc.kill()
+                break
+            time.sleep(0.5)
+        proc.wait()
+        tout.join(timeout=10)
+        terr.join(timeout=10)
+        if proc.returncode not in (0, -9) or (
+            proc.returncode == 0 and not state["headline"]
+        ):
+            sys.stderr.write(
+                "bench attempt ended rc=%s headline=%s (env=%s)\n"
+                % (proc.returncode, state["headline"], extra_env)
+            )
+        return state["headline"]
+
     thin = {  # retries drop the detail phases, keeping the headline
         "KPOP_BENCH_BATCHES": "6",
         "KPOP_BENCH_SKIP_STREAMED_CA": "1",
@@ -794,50 +936,43 @@ def _supervise() -> int:
         "KPOP_BENCH_SKIP_LARGEK": "1",
         "KPOP_BENCH_SKIP_TUNNEL": "1",
     }
-    attempts = [
-        (1740, {}),
-        # tunnel weather varies by many minutes: retry once with a thinner
-        # serving phase before surrendering to the labelled CPU fallback
-        (900, dict(thin)),
-        (600, dict(thin, KPOP_PLATFORM="cpu", KPOP_BENCH_BATCHES="2")),
-    ]
-    for i, (timeout_s, extra_env) in enumerate(attempts):
-        if i:
-            time.sleep(30)  # a killed child may hold the chip briefly
-        env = dict(os.environ, KPOP_BENCH_CHILD="1", **extra_env)
-        try:
-            res = subprocess.run(
-                [sys.executable, here],
-                env=env,
-                timeout=timeout_s,
-                capture_output=True,
-                text=True,
-            )
-        except subprocess.TimeoutExpired:
-            sys.stderr.write(
-                f"bench attempt timed out after {timeout_s}s "
-                f"(env={extra_env}); retrying\n"
-            )
-            continue
-        line = next(
-            (l for l in res.stdout.splitlines() if l.startswith("{")), None
+    # Attempt 1 (full): must headline before the point that still leaves
+    # room for a thin retry + CPU fallback; on success it may keep running
+    # detail phases until the probe reserve.
+    probe_reserve = 240.0 if not os.environ.get(
+        "KPOP_BENCH_SKIP_CACHE_PROBE"
+    ) else 20.0
+    ok = run_attempt(
+        {},
+        headline_by=t_start + min(700.0, budget - cpu_reserve - 380.0),
+        # once the headline is out no CPU fallback is needed: detail
+        # phases may use everything but the cache-probe reserve
+        hard_by=deadline - probe_reserve,
+    )
+    if not ok:
+        time.sleep(20)  # a killed child may hold the chip briefly
+        ok = run_attempt(
+            dict(thin),
+            headline_by=deadline - cpu_reserve - 20.0,
+            hard_by=deadline - cpu_reserve - 20.0,
         )
-        if res.returncode == 0 and line:
-            data = json.loads(line)
-            if extra_env.get("KPOP_PLATFORM") == "cpu":
-                data["unit"] += " (cpu fallback: TPU tunnel stalled)"
-            elif not os.environ.get("KPOP_BENCH_SKIP_CACHE_PROBE"):
-                _cache_probe(here)
-            print(json.dumps(data))
-            return 0
-        sys.stderr.write(
-            f"bench attempt failed rc={res.returncode}: "
-            f"{res.stderr[-500:]}\n"
+    if not ok:
+        time.sleep(20)
+        ok = run_attempt(
+            dict(thin, KPOP_PLATFORM="cpu", KPOP_BENCH_BATCHES="2"),
+            headline_by=deadline - 10.0,
+            hard_by=deadline - 10.0,
         )
-    return 1
+        return 0 if ok else 1
+    if (
+        not os.environ.get("KPOP_BENCH_SKIP_CACHE_PROBE")
+        and remaining() > 240.0
+    ):
+        _cache_probe(here, timeout_s=remaining() - 30.0)
+    return 0
 
 
-def _cache_probe(here: str) -> None:
+def _cache_probe(here: str, timeout_s: float = 1500.0) -> None:
     """Cross-process compile-cache record (VERDICT r3 #9): rerun ONLY the
     CA fit in a fresh process right after the main child populated the
     persistent compilation cache; the wall distinguishes cold vs
@@ -855,7 +990,8 @@ def _cache_probe(here: str) -> None:
     )
     try:
         res = subprocess.run(
-            [sys.executable, here], env=env, timeout=1500,
+            [sys.executable, here], env=env,
+            timeout=max(30.0, timeout_s - 20.0),
             capture_output=True, text=True,
         )
     except subprocess.TimeoutExpired:
@@ -900,8 +1036,11 @@ def _cache_probe(here: str) -> None:
                 "in-process jit reuse (the train_to_serve_handoff wall) "
                 "reliably avoids recompiles",
     }
-    with open(DETAILS_PATH, "w") as f:
+    tmp = DETAILS_PATH + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
+    os.replace(tmp, DETAILS_PATH)
+    _regen_tables()
 
 
 if __name__ == "__main__":

@@ -156,6 +156,12 @@ def main(argv=None) -> int:
             raise ParseError(f"Invalid dtype '{v}'")
         state["dtype"] = v
 
+    def set_project_path(a: Args):
+        v = a.get()
+        if v not in ("auto", "dense", "bag"):
+            raise ParseError(f"Invalid projection path '{v}'")
+        state["project_path"] = v
+
     p.opt(["--dtype"], "'f32'|'bf16'",
           ["device storage dtype for the twister matrix (bf16 halves HBM",
            "footprint/traffic of the one large tensor; all accumulations",
@@ -177,7 +183,7 @@ def main(argv=None) -> int:
            "16.7M-row k=12 flagship, and it compiles in seconds instead",
            "of minutes); 'auto' picks by estimated HBM traffic;",
            "kpop-tpu extension"],
-          lambda a: state.update(project_path=a.get()), "auto")
+          set_project_path, "auto")
     p.opt(["--profile"], "<trace_directory>",
           ["write a JAX/XLA profiler trace of the run (view with",
            "tensorboard or xprof; kpop-tpu extension)"],
@@ -240,20 +246,28 @@ def main(argv=None) -> int:
         def _dmat_bag(p, base_codes):
             return distances_to_classes(p, project_reads(p, base_codes))
 
+        _pinned_path: list[str] = []
+
         def _pick_path(B: int, W: int) -> str:
             """'auto': estimated HBM traffic per batch.  dense touches the
             [B, V] spectrum ~3x (zero + scatter + project read) plus the
             [V, d] twister; bag gathers B*W rows of 4d bytes at poor DMA
             efficiency for small d (~16x measured at d=64 on v5e — the
             16.7M-row flagship, where bag still wins 4.3x end to end and
-            compiles in seconds instead of the scatter's minutes)."""
+            compiles in seconds instead of the scatter's minutes).
+            Pinned on the first (full) batch so a differently-shaped tail
+            batch cannot flip paths and pay an extra remote compile."""
             if state["project_path"] != "auto":
                 return state["project_path"]
+            if _pinned_path:
+                return _pinned_path[0]
             V = params.n_vocab
             d = params.twister.shape[1]
             bag_bytes = 4 * B * W * d * 16
             dense_bytes = 12 * B * V + 4 * V * d
-            return "bag" if bag_bytes < dense_bytes else "dense"
+            path = "bag" if bag_bytes < dense_bytes else "dense"
+            _pinned_path.append(path)
+            return path
 
         def _dmat_replicated(p, base_codes):
             path = _pick_path(*base_codes.shape)
@@ -318,23 +332,30 @@ def main(argv=None) -> int:
             pad_multiple = mesh.shape[DATA_AXIS]
             code_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
+        # jit compiles per distinct [B, W] shape, and one compile over the
+        # remote-compile tunnel can cost minutes: bucket both axes so a
+        # short tail batch / varying read lengths reuse the compiled step.
+        # -1 padding encodes a window break, so padded cells count nothing.
+        width_hist: list[int] = []
+
         def dmat_of_seqs(seqs):
             # one native batch-encode call for either alphabet (DNA base-4 /
             # protein base-20, kpop_native.cpp kpop_encode_batch)
             codes = encode_reads_host(seqs, protein=space.base != 4)
-            if codes.shape[1] < space.k:  # shorter than k: all-break pad
-                codes = np.pad(
-                    codes,
-                    ((0, 0), (0, space.k - codes.shape[1])),
-                    constant_values=-1,
-                )
             n = codes.shape[0]
+            w = max(codes.shape[1], space.k)
+            w = -(-w // 512) * 512  # width bucket
+            if width_hist:
+                w = max(w, width_hist[-1])  # never shrink: reuse the widest
+            width_hist.append(w)
+            rows = state["batch"] if n <= state["batch"] else n
+            rows += (-rows) % max(pad_multiple, 1)
+            codes = np.pad(
+                codes,
+                ((0, rows - n), (0, w - codes.shape[1])),
+                constant_values=-1,
+            )
             if pad_multiple > 1:
-                pad = (-n) % pad_multiple
-                if pad:
-                    codes = np.concatenate(
-                        [codes, np.full((pad, codes.shape[1]), -1, np.int8)]
-                    )
                 cd = jax.device_put(codes, code_sharding)
             else:
                 cd = jnp.asarray(codes)
