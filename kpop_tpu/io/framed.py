@@ -118,6 +118,24 @@ def read_frames(f: IO[bytes]) -> Dict[str, np.ndarray]:
     return out
 
 
+def iter_frames_meta(f: IO[bytes]):
+    """Yield ``(name, dtype, shape, data_offset)`` for each frame WITHOUT
+    reading payloads (seeks past them) — the index pass of shard-local
+    checkpoint loading.  Requires a seekable stream; piped register I/O
+    keeps using :func:`read_frames`."""
+    while True:
+        (nlen,) = struct.unpack("<I", _read_exact(f, 4))
+        if nlen == _TERM:
+            return
+        name = _read_exact(f, nlen).decode()
+        (jlen,) = struct.unpack("<I", _read_exact(f, 4))
+        spec = json.loads(_read_exact(f, jlen))
+        (dlen,) = struct.unpack("<Q", _read_exact(f, 8))
+        off = f.tell()
+        f.seek(dlen, 1)
+        yield name, np.dtype(spec["dtype"]), tuple(spec["shape"]), off
+
+
 def strings_of_frames(frames: Dict[str, np.ndarray], name: str) -> list[str]:
     n = int(frames["len:" + name][0])
     if n == 0:

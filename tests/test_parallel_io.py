@@ -67,3 +67,142 @@ def test_sharded_checkpoint_roundtrip(mesh, tmp_path):
     back = load_sharded(prefix, mesh, spec)
     np.testing.assert_array_equal(np.asarray(back), x)
     assert back.sharding.spec == spec
+
+
+def test_sharded_checkpoint_load_different_partitioning(mesh, tmp_path):
+    """Save under one partitioning, load under another (e.g. a job resumed
+    on a different mesh shape) — the shard-local loader intersects saved
+    frames with the target shards, so the two need not match."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kpop_tpu.config import jax_setup
+    from kpop_tpu.parallel.checkpoint import load_sharded, save_sharded
+    from kpop_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS
+
+    jax = jax_setup()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((48, 16)).astype(np.float32)
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P((DATA_AXIS, KMER_AXIS), None))
+    )
+    prefix = str(tmp_path / "ck")
+    save_sharded(prefix, xs)
+    for spec in (P(DATA_AXIS, KMER_AXIS), P(KMER_AXIS, None), P(None, None)):
+        back = load_sharded(prefix, mesh, spec)
+        np.testing.assert_array_equal(np.asarray(back), x)
+        assert back.sharding.spec == spec
+
+
+def test_sharded_checkpoint_missing_shard_fatal(mesh, tmp_path):
+    """A checkpoint with a missing shard file must error, not silently
+    zero-fill (reference file-format violations are fatal everywhere)."""
+    import os
+
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kpop_tpu.config import jax_setup
+    from kpop_tpu.io.framed import IncompatibleArchive
+    from kpop_tpu.parallel.checkpoint import TAG, load_sharded, save_sharded
+    from kpop_tpu.io import framed
+    from kpop_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS
+
+    jax = jax_setup()
+    x = np.arange(64, dtype=np.float32).reshape(16, 4)
+    spec = P((DATA_AXIS, KMER_AXIS), None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    prefix = str(tmp_path / "ck")
+    save_sharded(prefix, xs)
+    # drop half the frames from the (single-process) shard file
+    shard_path = prefix + ".shard0.kpopckpt"
+    with open(shard_path, "rb") as f:
+        framed.read_header(f, expect_tag=TAG)
+        frames = framed.read_frames(f)
+    keep = dict(list(frames.items())[: len(frames) // 2])
+    with open(shard_path, "wb") as f:
+        framed.write_header(f, TAG, {"process": 0})
+        for name, data in keep.items():
+            framed.write_array(f, name, data)
+        framed.write_terminator(f)
+    with pytest.raises(IncompatibleArchive, match="covers"):
+        load_sharded(prefix, mesh, spec)
+    os.remove(shard_path)
+    with pytest.raises(FileNotFoundError):
+        load_sharded(prefix, mesh, spec)
+
+
+def test_sharded_checkpoint_load_bounded_rss_5m():
+    """VERDICT r4 #4: loading a checkpoint LARGER than the allowed host
+    temporary must not materialize the full array on the host.  A
+    [5M, 48] float32 (960 MB) checkpoint is loaded onto an 8-device mesh
+    sharded over axis 0; the loader's HOST-side temporaries (memmapped
+    frame windows + one shard buffer at a time) must stay far below the
+    full array (the old path allocated np.zeros(full) + a full frames
+    dict).  Device buffers are counted too on the CPU backend, so the
+    bound is 1x array + slack, where the old path needed ~3x."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = textwrap.dedent("""
+        import os, resource, sys
+        import numpy as np
+        sys.path.insert(0, %r)
+        from kpop_tpu.config import jax_setup
+        jax = jax_setup()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from kpop_tpu.parallel.checkpoint import load_sharded, save_sharded
+        from kpop_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS, make_mesh
+
+        def rss_kb():
+            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+
+        mesh = make_mesh(8)
+        nk, ns = 5_000_000, 48
+        spec = P((DATA_AXIS, KMER_AXIS), None)
+        sharding = NamedSharding(mesh, spec)
+        # write the checkpoint shard-by-shard (the writer side is already
+        # shard-local; build each device shard directly to keep the
+        # baseline itself bounded)
+        devmap = sharding.addressable_devices_indices_map((nk, ns))
+        arrs = []
+        for dev, idx in devmap.items():
+            lo = idx[0].start or 0
+            hi = idx[0].stop if idx[0].stop is not None else nk
+            block = np.tile(
+                np.arange(lo, hi, dtype=np.float32)[:, None], (1, ns)
+            )
+            arrs.append(jax.device_put(block, dev))
+        xs = jax.make_array_from_single_device_arrays(
+            (nk, ns), sharding, arrs
+        )
+        ck = os.path.join(%r, "big")
+        save_sharded(ck, xs)
+        del xs, arrs
+        base = rss_kb()
+        back = load_sharded(ck, mesh, spec)
+        jax.block_until_ready(back)
+        delta_kb = rss_kb() - base
+        # spot-check values without a host gather
+        s0 = np.asarray(list(back.addressable_shards)[0].data)
+        assert s0[0, 0] == (list(back.addressable_shards)[0].index[0].start
+                            or 0)
+        print("BASE_KB", base, "LOAD_DELTA_KB", delta_kb)
+        full_kb = nk * ns * 4 // 1024
+        # old path: >= 2x full array extra on host; new path: ~1x (CPU
+        # "device" buffers) + one shard buffer
+        assert delta_kb < full_kb * 1.45, (delta_kb, full_kb)
+    """)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo
+        res = subprocess.run(
+            [sys.executable, "-c", prog % (repo, td)],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "LOAD_DELTA_KB" in res.stdout
