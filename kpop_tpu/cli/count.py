@@ -167,4 +167,6 @@ def main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    from ..utils.cli import run
+
+    sys.exit(run(main))

@@ -90,8 +90,26 @@ def iter_reads(inputs: Sequence[ReadsInput]) -> Iterator[Tuple[str, List[str]]]:
             f2 = open_in(inp.path2)
             try:
                 it1, it2 = iter_fastq(f1), iter_fastq(f2)
-                for (tag1, seq1), (_tag2, seq2) in zip(it1, it2):
-                    yield tag1, [seq1, seq2]
+                n = 0
+                _DONE = object()
+                while True:
+                    r1 = next(it1, _DONE)
+                    r2 = next(it2, _DONE)
+                    if r1 is _DONE and r2 is _DONE:
+                        break
+                    if r1 is _DONE or r2 is _DONE:
+                        # the reference drives both segments as ONE record
+                        # (bin/KPopCount.ml:36-55); files of different
+                        # lengths are a file-format violation, fatal like
+                        # every other one — never silently truncated
+                        longer = inp.path2 if r1 is _DONE else inp.path1
+                        raise ValueError(
+                            f"paired-end FASTQ files do not match: "
+                            f"{longer!r} still has reads after its mate "
+                            f"ended at {n} pairs"
+                        )
+                    n += 1
+                    yield r1[0], [r1[1], r2[1]]
             finally:
                 close_if_owned(f1, inp.path1)
                 close_if_owned(f2, inp.path2)

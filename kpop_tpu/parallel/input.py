@@ -53,8 +53,13 @@ def encode_fasta_batches(
     pending_names: List[str] = []
     for path in files:
         if use_native:
-            with open(path, "rb") as f:
+            from ..utils.naming import open_in_bin
+
+            f = open_in_bin(path)  # transparent .gz
+            try:
                 buf = f.read()
+            finally:
+                f.close()
             pos = 0
             while pos < len(buf):
                 codes, names, _lens, consumed = native.fasta_encode_batch(

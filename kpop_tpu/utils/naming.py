@@ -34,6 +34,13 @@ SPLITS_TABLE_EXT = ".PhyloSplits.txt"
 def open_in(path: str) -> IO[str]:
     if path == "-" or path == "/dev/stdin":
         return sys.stdin
+    if path.endswith(".gz"):
+        # transparent gzip input: every real-world reference workflow feeds
+        # gzipped FASTQ (README.md:693-699, via zcat pipes) — accept the
+        # file directly as well
+        import gzip
+
+        return gzip.open(path, "rt")
     return open(path, "r")
 
 
@@ -48,6 +55,10 @@ def open_out(path: str) -> IO[str]:
 def open_in_bin(path: str) -> IO[bytes]:
     if path == "-" or path == "/dev/stdin":
         return sys.stdin.buffer
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
     return open(path, "rb")
 
 

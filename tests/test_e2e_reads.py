@@ -148,3 +148,92 @@ def test_relatedness_engine(tmp_path):
     fams = {sample_family[names[i]] for i in members}
     other = {sample_family[names[i]] for i in range(len(names)) if i not in members}
     assert fams.isdisjoint(other) or len(fams) < n_families
+
+
+def test_paired_end_mismatch_is_fatal(tmp_path):
+    """Paired FASTQ files of different lengths are a file-format violation
+    and must be fatal (reference drives both segments as one record,
+    bin/KPopCount.ml:36-55) — not silently truncated to the shorter file."""
+    from kpop_tpu.io.reads import PairedEndFastqInput, iter_reads
+
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 4, size=2000)
+    r1 = reads_of_genome(rng, g, coverage=1.0)
+    r2 = reads_of_genome(rng, g, coverage=1.0)
+    p1, p2 = str(tmp_path / "a_1.fastq"), str(tmp_path / "a_2.fastq")
+    write_fastq(p1, r1)
+    write_fastq(p2, r2[:-3])  # drop trailing mates
+    with pytest.raises(ValueError, match="paired-end FASTQ files do not"):
+        list(iter_reads([PairedEndFastqInput(p1, p2)]))
+    # equal-length pairing still yields one record per pair
+    write_fastq(p2, r2)
+    recs = list(iter_reads([PairedEndFastqInput(p1, p2)]))
+    assert len(recs) == len(r1)
+    assert all(len(segs) == 2 for _tag, segs in recs)
+    # CLI surface: the violation must surface as the reference's FATAL UX
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    write_fastq(p2, r2[:-3])
+    env = dict(os.environ, PYTHONPATH=repo)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    res = subprocess.run(
+        [sys.executable, "-m", "kpop_tpu.cli.count", "-k", "5", "-L",
+         "-p", p1, p2, "-o", str(tmp_path / "out")],
+        env=env, capture_output=True, text=True,
+    )
+    assert res.returncode != 0
+    assert "FATAL" in res.stderr and "paired-end" in res.stderr
+
+
+def test_gzip_inputs_transparent(tmp_path):
+    """.gz FASTA/FASTQ are accepted directly (reference workflows feed
+    gzipped FASTQ via zcat pipes, README.md:693-699) and must produce
+    byte-identical spectra to the uncompressed files."""
+    import gzip
+    import sys
+
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 4, size=3000)
+    reads = reads_of_genome(rng, g, coverage=2.0)
+    fq = str(tmp_path / "s.fastq")
+    write_fastq(fq, reads)
+    with open(fq, "rb") as f, gzip.open(fq + ".gz", "wb") as z:
+        z.write(f.read())
+    fa = str(tmp_path / "s.fasta")
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(">r%d\n%s\n" % (i, r))
+    with open(fa, "rb") as f, gzip.open(fa + ".gz", "wb") as z:
+        z.write(f.read())
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+
+    def run_count(args):
+        res = subprocess.run(
+            [sys.executable, "-m", "kpop_tpu.cli.count", "-k", "5", "-L",
+             "-o", "/dev/stdout"] + args,
+            env=env, capture_output=True, text=True,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return res.stdout
+
+    assert run_count(["-s", fq + ".gz"]) == run_count(["-s", fq])
+    assert run_count(["-f", fa + ".gz"]) == run_count(["-f", fa])
+    # the parallel input pipeline's native batch parser path too
+    from kpop_tpu.parallel.input import encode_fasta_batches
+
+    plain = [
+        (c.copy(), list(n))
+        for c, n in encode_fasta_batches([fa], batch=8, max_len=128)
+    ]
+    zipped = [
+        (c.copy(), list(n))
+        for c, n in encode_fasta_batches([fa + ".gz"], batch=8, max_len=128)
+    ]
+    assert len(plain) == len(zipped)
+    for (ca, na), (cb, nb) in zip(plain, zipped):
+        np.testing.assert_array_equal(ca, cb)
+        assert na == nb
