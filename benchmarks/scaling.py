@@ -106,36 +106,50 @@ def _child(n_dev: int) -> None:
     print(json.dumps({
         "n_devices": n_dev,
         "mesh": dict(mesh.shape),
+        "host_cpus": os.cpu_count(),
         "ca_warm_s": round(ca_s, 3),
         "serving_warm_s_per_batch": round(serve_s, 4),
     }))
 
 
-def main(device_counts=(1, 2, 4, 8), out_path=None) -> dict:
+def main(device_counts=(1, 2, 4, 8), out_path=None, repeats=3) -> dict:
     points = []
     for n in device_counts:
-        env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)
-        env["PYTHONPATH"] = REPO
-        res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(n)],
-            env=env, capture_output=True, text=True, timeout=1200,
-        )
-        line = next(
-            (l for l in res.stdout.splitlines() if l.startswith("{")), None
-        )
-        if res.returncode != 0 or line is None:
-            raise RuntimeError(
-                f"scaling child n={n} failed: {res.stderr[-1000:]}"
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env["PYTHONPATH"] = REPO
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--child", str(n)],
+                env=env, capture_output=True, text=True, timeout=1200,
             )
-        points.append(json.loads(line))
-        sys.stderr.write(f"scaling: {line}\n")
+            line = next(
+                (l for l in res.stdout.splitlines() if l.startswith("{")),
+                None,
+            )
+            if res.returncode != 0 or line is None:
+                raise RuntimeError(
+                    f"scaling child n={n} failed: {res.stderr[-1000:]}"
+                )
+            p = json.loads(line)
+            sys.stderr.write(f"scaling: {line}\n")
+            if best is None:
+                best = p
+            else:  # min over repeats: shared-host walls are noisy
+                for key in ("ca_warm_s", "serving_warm_s_per_batch"):
+                    best[key] = min(best[key], p[key])
+        points.append(best)
     base_ca = points[0]["ca_warm_s"]
     base_sv = points[0]["serving_warm_s_per_batch"]
     result = {
-        "label": "CPU-mesh RELATIVE curve (virtual devices share one "
-                 "physical CPU; demonstrates no pathological sharding "
-                 "overhead, not real multi-chip speedup)",
+        "label": "CPU-mesh RELATIVE curve (N virtual devices share "
+                 "host_cpus physical cores, so the 4/8-device points pay "
+                 "thread-contention overhead that real chips would not; "
+                 "demonstrates BOUNDED sharding+dispatch overhead, not "
+                 "multi-chip speedup — see BASELINE.md)",
+        "host_cpus": os.cpu_count(),
         "workload": {
             "ca_table": [CA_ROWS, CA_COLS],
             "serving": {"V": V, "D": D, "C": C, "B": B, "L": L},

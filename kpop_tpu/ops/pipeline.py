@@ -248,15 +248,19 @@ def project(params: ClassifierParams, spectra: "jnp.ndarray", normalize=True):
 
     Matches lib/Twister.ml:173-183 (normalization over known k-mers only —
     the trash bucket is already dropped by :func:`count_spectra`).
+    Projection is linear, so the normalization divides the tiny ``[B, d]``
+    output instead of the ``[B, V]`` spectrum — one full spectrum-sized
+    HBM pass saved per batch.
     """
-    if normalize:
-        sums = spectra.sum(axis=1, keepdims=True)
-        spectra = spectra / jnp.where(sums == 0.0, 1.0, sums)
-    return jnp.dot(
+    out = jnp.dot(
         spectra.astype(params.twister.dtype),
         params.twister,
         preferred_element_type=jnp.float32,
     )
+    if normalize:
+        sums = spectra.sum(axis=1)
+        out = out / jnp.where(sums == 0.0, 1.0, sums)[:, None]
+    return out
 
 
 def distances_to_classes(

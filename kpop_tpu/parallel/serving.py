@@ -124,16 +124,18 @@ def sharded_dmat_fn(mesh: Mesh, n_vocab: int, normalize: bool = True):
         b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
         spec = out.at[b_idx, tgt].add(jnp.ones((B, W), jnp.float32))
         spec = spec[:, :V_local]
-        if normalize:
-            # global known-kmer count: the lookup tables are replicated so
-            # every shard computes the full sum locally (no collective)
-            total = known.sum(axis=1).astype(jnp.float32)
-            spec = spec / jnp.where(total == 0.0, 1.0, total)[:, None]
         part = jnp.dot(
             spec.astype(p.twister.dtype),
             p.twister,
             preferred_element_type=jnp.float32,
         )
+        if normalize:
+            # global known-kmer count: the lookup tables are replicated so
+            # every shard computes the full sum locally (no collective);
+            # projection is linear, so dividing the [B, d] partial saves a
+            # [B, V_local] HBM pass vs normalizing the spectrum
+            total = known.sum(axis=1).astype(jnp.float32)
+            part = part / jnp.where(total == 0.0, 1.0, total)[:, None]
         twisted = jax.lax.psum(part, KMER_AXIS)  # [B, d] — V-independent
         return distances_to_classes(p, twisted, normalize=normalize)
 

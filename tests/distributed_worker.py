@@ -4,7 +4,8 @@ jax.distributed job over 2 processes x 4 virtual CPU devices = 8 global
 devices — the CPU stand-in for the reference's manual multi-node sharding
 replacement (README.md:1049-1067 -> one SPMD job).
 
-Usage: python distributed_worker.py <process_id> <port> <workdir>
+Usage: python distributed_worker.py <process_id> <port> <workdir> \
+           [n_processes] [local_devices]
 Exits non-zero on any assertion failure; writes <workdir>/ok.<pid> on success.
 """
 
@@ -17,10 +18,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     pid, port, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    n_procs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    local_dev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     os.environ["KPOP_PLATFORM"] = "cpu"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=4 "
+        f"--xla_force_host_platform_device_count={local_dev} "
         + os.environ.get("XLA_FLAGS", "")
     )
     sys.path.insert(0, REPO)
@@ -30,17 +33,20 @@ def main() -> int:
     from kpop_tpu.parallel import distributed
 
     distributed.initialize(
-        coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+        coordinator_address=f"localhost:{port}",
+        num_processes=n_procs,
+        process_id=pid,
     )
 
     import jax
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    assert jax.process_count() == 2
+    n_global = n_procs * local_dev
+    assert jax.process_count() == n_procs
     assert jax.process_index() == pid
-    assert len(jax.devices()) == 8
-    assert len(jax.local_devices()) == 4
+    assert len(jax.devices()) == n_global
+    assert len(jax.local_devices()) == local_dev
     assert distributed.is_primary() == (pid == 0)
 
     from kpop_tpu.core.ca import fit_ca
@@ -58,13 +64,15 @@ def main() -> int:
     # ---- P2 scatter: round-robin file assignment ----
     files = [os.path.join(workdir, f"in{i}.fasta") for i in range(4)]
     mine = shard_files_for_process(files)
-    assert mine == files[pid::2], (mine, pid)
+    assert mine == files[pid::n_procs], (mine, pid)
 
     # ---- per-process encode + global assembly ----
-    batches = list(encode_fasta_batches(mine, batch=8, max_len=16))
+    local_batch = 16 // n_procs
+    batches = list(encode_fasta_batches(mine, batch=local_batch, max_len=16))
     assert len(batches) == 1, len(batches)
     codes, names = batches[0]
-    assert codes.shape == (8, 16) and len(names) == 8
+    assert codes.shape == (local_batch, 16) and len(names) == local_batch
+    codes_f, names_f = codes, list(names)  # kept for the P3 merge stage
     g = global_batch(mesh, codes)
     assert g.shape == (16, 16), g.shape
     got_sum = float(jax.jit(lambda a: (a.astype("int32") + 1).sum())(g))
@@ -137,17 +145,21 @@ def main() -> int:
     dmat = sharded_dmat_fn(mesh, vg)(sp, gb)
     # host golden: numpy count -> normalize over known -> project -> distance
     code_to_col = {int(c): i for i, c in enumerate(vocab_codes)}
-    want = np.zeros((B, C))
-    for b in range(B):
+
+    def tv_of(row_codes) -> "np.ndarray":
         spec = np.zeros(V)
-        for c in space.window_codes(codes[b]):
+        for c in space.window_codes(row_codes):
             col = code_to_col.get(int(c))
             if col is not None:
                 spec[col] += 1.0
         total = spec.sum()
         if total:
             spec /= total
-        tv = spec @ tw.astype(np.float64)
+        return spec @ tw.astype(np.float64)
+
+    want = np.zeros((B, C))
+    for b in range(B):
+        tv = tv_of(codes[b])
         na = float(np.sqrt((tv**2 * metric).sum())) or 1.0
         aa = tv / na
         bb = ccoords.astype(np.float64) / cn[:, None]
@@ -158,6 +170,41 @@ def main() -> int:
         np.testing.assert_allclose(
             np.asarray(s.data, dtype=np.float64), want[s.index], atol=1e-4
         )
+
+    # ---- P3 `-a` merge: per-process twisted chunk files -> one register
+    # (the reference's manual multi-node scatter + merge, README.md:
+    # 1049-1067: each node projects its input shard, the results are
+    # merged with KPopTwistDB -a) ----
+    from kpop_tpu.cli import twistdb as twistdb_cli
+    from kpop_tpu.core.matrix import KPopMatrix, MatrixType, NamedMatrix
+
+    dim_names = ["Dim%d" % (i + 1) for i in range(d)]
+    local_tv = np.stack([tv_of(codes_f[b]) for b in range(len(names_f))])
+    part = KPopMatrix(
+        MatrixType.TWISTED, NamedMatrix(names_f, dim_names, local_tv)
+    )
+    part.to_binary(os.path.join(workdir, "part%d" % pid))
+    multihost_utils.sync_global_devices("parts written")
+    if pid == 0:
+        argv = ["-i", "t", os.path.join(workdir, "part0")]
+        for i in range(1, n_procs):
+            argv += ["-a", "t", os.path.join(workdir, "part%d" % i)]
+        argv += ["-o", "t", os.path.join(workdir, "merged")]
+        rc = twistdb_cli.main(argv)
+        assert rc == 0, rc
+        merged = KPopMatrix.of_binary(
+            MatrixType.TWISTED, os.path.join(workdir, "merged")
+        )
+        exp_rows = {}
+        for cb, nb in encode_fasta_batches(files, batch=16, max_len=16):
+            for b, nm in enumerate(nb):
+                exp_rows[nm] = tv_of(cb[b])
+        assert sorted(merged.matrix.row_names) == sorted(exp_rows), (
+            merged.matrix.row_names
+        )
+        for nm, row in zip(merged.matrix.row_names, merged.matrix.data):
+            np.testing.assert_allclose(row, exp_rows[nm], atol=1e-12)
+    multihost_utils.sync_global_devices("merged checked")
 
     with open(os.path.join(workdir, f"ok.{pid}"), "w") as f:
         json.dump({"process": pid, "devices": len(jax.devices())}, f)

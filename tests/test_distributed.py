@@ -45,7 +45,7 @@ def _write_fastas(td) -> None:
                 f.write(f">f{i}r{j}\n{seq}\n")
 
 
-def test_two_process_distributed(tmp_path):
+def _run_job(tmp_path, n_procs: int, local_dev: int) -> None:
     td = str(tmp_path)
     _write_fastas(td)
     port = _free_port()
@@ -54,18 +54,19 @@ def test_two_process_distributed(tmp_path):
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(port), td],
+            [sys.executable, WORKER, str(pid), str(port), td,
+             str(n_procs), str(local_dev)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
         )
-        for pid in (0, 1)
+        for pid in range(n_procs)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -74,3 +75,16 @@ def test_two_process_distributed(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert os.path.exists(os.path.join(td, f"ok.{pid}"))
+
+
+def test_two_process_distributed(tmp_path):
+    _run_job(tmp_path, n_procs=2, local_dev=4)
+
+
+def test_four_process_distributed(tmp_path):
+    """The reference P3 workflow shape (README.md:1049-1067) at 4 processes:
+    input shards -> global batch -> sharded CA -> sharded checkpoint
+    save/load -> cross-process kmer-sharded serving -> per-process twisted
+    chunks merged with the real `kpop-twistdb -a` machinery, all parity-
+    checked against the single-host float64 chain inside the workers."""
+    _run_job(tmp_path, n_procs=4, local_dev=2)

@@ -42,34 +42,42 @@ def sh(cmd: str, cwd) -> str:
     return res.stdout
 
 
-def test_quickstart_zero_misclassified(workdir):
+@pytest.fixture(scope="module")
+def trained(workdir):
+    """Steps 1-2 of the quick start (train DB + twist), built once so every
+    test in this module is independently runnable (not ordered after the
+    full-pipeline test)."""
     k = 5
-    # 1. build per-class representative spectra and collect into a DB
-    #    (verbatim reference pipeline, README.md:91)
-    classes = " ".join("C%d" % i for i in range(1, 11))
-    sh(
-        "for CLASS in %s; do cat clusters-small.fasta | "
-        "awk -v CLASS=$CLASS '{nr=(NR-1)%%4; ok=(nr==0?$0~(\"-\"CLASS\"$\"):nr==1&&ok); if (ok) print}' | "
-        "kpop-count -k %d -L -f /dev/stdin | "
-        "kpop-countdb -k /dev/stdin -R '~.' -A $CLASS -L $CLASS -N -D -t /dev/stdout; done | "
-        "kpop-countdb -k /dev/stdin -o Classes.%d" % (classes, k, k),
-        workdir,
-    )
+    if not (workdir / ("Classes.%d.KPopTwisted" % k)).exists():
+        classes = " ".join("C%d" % i for i in range(1, 11))
+        sh(
+            "for CLASS in %s; do cat clusters-small.fasta | "
+            "awk -v CLASS=$CLASS '{nr=(NR-1)%%4; ok=(nr==0?$0~(\"-\"CLASS\"$\"):nr==1&&ok); if (ok) print}' | "
+            "kpop-count -k %d -L -f /dev/stdin | "
+            "kpop-countdb -k /dev/stdin -R '~.' -A $CLASS -L $CLASS -N -D -t /dev/stdout; done | "
+            "kpop-countdb -k /dev/stdin -o Classes.%d" % (classes, k, k),
+            workdir,
+        )
+        sh("kpop-twist -i Classes.%d -o Classes.%d" % (k, k), workdir)
+        # 3. project test sequences + summarize (README.md:93)
+        sh(
+            "cat clusters-small.fasta | "
+            "awk -v K=%d '{nr=(NR-1)%%4; if (nr==2) split($0,s,\"[>-]\"); if (nr==3) print \">\"s[2]\"-\"s[3]\"\\n\"$0}' | "
+            "kpop-count -k %d -L -f /dev/stdin | "
+            "kpop-twistdb -i T Classes.%d -k /dev/stdin -o t /dev/stdout | "
+            "kpop-twistdb -i T Classes.%d -i t Classes.%d -s /dev/stdin Test_prediction.%d"
+            % (k, k, k, k, k, k),
+            workdir,
+        )
+    return workdir
+
+
+def test_quickstart_zero_misclassified(trained):
+    workdir = trained
+    k = 5
     assert (workdir / ("Classes.%d.KPopCounter" % k)).exists()
-    # 2. twist (README.md:92)
-    sh("kpop-twist -i Classes.%d -o Classes.%d" % (k, k), workdir)
     assert (workdir / ("Classes.%d.KPopTwister" % k)).exists()
     assert (workdir / ("Classes.%d.KPopTwisted" % k)).exists()
-    # 3. project test sequences + summarize (README.md:93)
-    sh(
-        "cat clusters-small.fasta | "
-        "awk -v K=%d '{nr=(NR-1)%%4; if (nr==2) split($0,s,\"[>-]\"); if (nr==3) print \">\"s[2]\"-\"s[3]\"\\n\"$0}' | "
-        "kpop-count -k %d -L -f /dev/stdin | "
-        "kpop-twistdb -i T Classes.%d -k /dev/stdin -o t /dev/stdout | "
-        "kpop-twistdb -i T Classes.%d -i t Classes.%d -s /dev/stdin Test_prediction.%d"
-        % (k, k, k, k, k, k),
-        workdir,
-    )
     # 4. count misclassified (README.md:94)
     out = sh(
         "cat Test_prediction.%d.KPopSummary.txt | "
@@ -83,7 +91,8 @@ def test_quickstart_zero_misclassified(workdir):
     assert int(n_lines.strip()) == 100
 
 
-def test_text_binary_conversion_roundtrip(workdir):
+def test_text_binary_conversion_roundtrip(trained):
+    workdir = trained
     k = 5
     sh("kpop-twistdb -i t Classes.%d -O t Classes.%d" % (k, k), workdir)
     header = sh("head -1 Classes.%d.KPopTwisted.txt" % k, workdir)
@@ -99,7 +108,8 @@ def test_text_binary_conversion_roundtrip(workdir):
     assert a == b
 
 
-def test_distances_and_summary_from_register(workdir):
+def test_distances_and_summary_from_register(trained):
+    workdir = trained
     k = 5
     sh(
         "kpop-twistdb -i t Classes.%d -i T Classes.%d -d Classes.%d "
@@ -120,7 +130,8 @@ def test_distances_and_summary_from_register(workdir):
     assert s1 == s2
 
 
-def test_embeddings_and_splits(workdir):
+def test_embeddings_and_splits(trained):
+    workdir = trained
     k = 5
     sh(
         "kpop-twistdb -i T Classes.%d -i t Classes.%d -e -p "
@@ -134,7 +145,8 @@ def test_embeddings_and_splits(workdir):
     assert (workdir / "SP.PhyloSplits").exists()
 
 
-def test_metrics_output(workdir):
+def test_metrics_output(trained):
+    workdir = trained
     k = 5
     sh("kpop-twistdb -i T Classes.%d -O m M" % k, workdir)
     lines = (workdir / "M.KPopMetrics.txt").read_text().splitlines()
@@ -143,7 +155,8 @@ def test_metrics_output(workdir):
     assert abs(sum(vals) - 1.0) < 1e-9  # normalized metric
 
 
-def test_classify_cli_matches_multiprocess_path(workdir):
+def test_classify_cli_matches_multiprocess_path(trained):
+    workdir = trained
     """kpop-classify (fused device pipeline) must produce the same
     KPopSummary as the KPopCount|twistdb -k|twistdb -s chain."""
     k = 5

@@ -47,12 +47,15 @@ def test_no_pathological_slowdown_at_8_devices():
     one = _best_of(1)
     eight = _best_of(8)
     assert eight["mesh"] == {"data": 4, "kmer": 2}
-    # virtual devices share one CPU: no real speedup guaranteed, but the
-    # sharded paths must not regress past fixed dispatch/collective
-    # overhead (full-scale curve: 2-3x FASTER; at this reduced CI scale
-    # serving pays ~15 ms of per-device dispatch against a ~60 ms batch)
-    assert eight["ca_warm_s"] <= 1.5 * one["ca_warm_s"], (one, eight)
+    # 8 virtual devices share the host's physical cores (2 in this
+    # environment), so thread contention makes some slowdown inherent —
+    # what this gates is that the kmer-sharded serving and sharded-CA
+    # overhead stays BOUNDED (the collective payload is O(B x d)): the
+    # measured min-of-3 is ~1.2x (CA) / ~1.5x (serving) on 2 cores, and a
+    # pathological collective/dispatch regression would blow well past
+    # these margins.  The claim scoping lives in BASELINE.md.
+    assert eight["ca_warm_s"] <= 1.4 * one["ca_warm_s"], (one, eight)
     assert (
         eight["serving_warm_s_per_batch"]
-        <= 2.0 * one["serving_warm_s_per_batch"]
+        <= 1.8 * one["serving_warm_s_per_batch"]
     ), (one, eight)
