@@ -200,6 +200,13 @@ def main() -> None:
     bag_rate = n_iter * B2 / (time.perf_counter() - t0)
     assert np.asarray(first_bag[0]).shape == (B2, 2)
     log("serving (bag, B=%d) %.1f seqs/s device-only" % (B2, bag_rate))
+    # prediction parity between the two projection routes (same [B, L]
+    # shape as the compiled dense step, so no extra compile)
+    dense_on_bag = jax.device_get(step_fn(params, cd2[:B]))
+    bag_matches = float(
+        (np.asarray(dense_on_bag[0])[:, 0]
+         == np.asarray(first_bag[0])[:B, 0]).mean()
+    )
 
     record = {
         "flagship_ca_streamed": {
@@ -234,24 +241,58 @@ def main() -> None:
             "dims": DIMS,
             "device_only_seqs_per_s": round(rate, 1),
             "compile_s": round(serve_compile_s, 1),
-            "bag_batch": B2,
-            "bag_device_only_seqs_per_s": round(bag_rate, 1),
-            "bag_compile_s": round(bag_compile_s, 1),
             "note": "count->project->classify jit fed DIRECTLY by the "
                     "device-resident streamed-CA twister (no download / "
                     "re-upload): the train-to-serve handoff at the flagship "
-                    "vocabulary.  The bag variant is the embedding-bag "
-                    "projection (--project-path bag/auto) at 4x the batch.",
+                    "vocabulary.  The bag variant is in "
+                    "flagship_serving_paths.",
+        },
+        # keys match what docs/gen_bench_tables.py renders
+        "flagship_serving_paths": {
+            "vocab_rows": NK,
+            "dims": DIMS,
+            "genome_len": L,
+            "dense_scatter_B%d_seqs_per_s" % B: round(rate, 1),
+            "dense_scatter_compile_s": round(serve_compile_s, 1),
+            "bag_B%d_seqs_per_s" % B2: round(bag_rate, 1),
+            "bag_compile_s": round(bag_compile_s, 1),
+            "bag_top1_matches_dense": bag_matches,
+            "note": "same-session serving probe from the device-resident "
+                    "twister: the embedding-bag gather path "
+                    "(ops/pipeline.py::project_reads, kpop-classify "
+                    "--project-path bag/auto) vs the dense [B, V] spectrum "
+                    "scatter at the full k=12 vocabulary.  The bag path "
+                    "never materializes the [B, V] spectrum, so at this "
+                    "vocabulary it is faster and compiles in seconds "
+                    "instead of the scatter's minutes; kpop-classify "
+                    "--project-path auto picks by estimated traffic.",
         },
     }
     # off-TPU smoke runs must not clobber the committed chip record (it is
-    # rendered into docs/BENCH_TABLES.md and drift-gated)
+    # rendered into docs/BENCH_TABLES.md and drift-gated); MERGE into the
+    # existing artifact so sections this run did not produce survive
     out_path = os.path.join(
         REPO,
         "BENCH_FLAGSHIP.json" if on_tpu else "BENCH_FLAGSHIP_SMOKE.json",
     )
-    with open(out_path, "w") as f:
-        json.dump(record, f, indent=1, sort_keys=True)
+    try:
+        with open(out_path) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        merged = {}
+    merged.update(record)
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    os.replace(tmp_path, out_path)
+    if on_tpu:
+        import subprocess as _sp
+
+        _sp.run(
+            [sys.executable, os.path.join(REPO, "docs",
+                                          "gen_bench_tables.py")],
+            check=False, timeout=60,
+        )
     print(json.dumps({"wall_s_fit": round(fit_s, 1),
                       "serving_seqs_per_s": round(rate, 1)}))
     log("wrote %s" % out_path)
