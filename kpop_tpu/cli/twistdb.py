@@ -73,11 +73,18 @@ def main(argv=None) -> int:
     program: List = []
     meta = {"twister_loads": 0, "verbose": False, "debug_twisting": False}
 
-    def act(fn, needs_twister=False):
+    # reference error texts, bin/KPopTwistDB.ml:368-384: the whole program
+    # is validated before ANY action executes (actions are delayed), so an
+    # invalid program fails without side effects
+    MSG_METRIC = (
+        "Options '-O m', '-e', '-d', and '-s' require a twister in the "
+        "twister register to provide a metric!"
+    )
+    MSG_KMERS = "Option '-k' requires a twister in the twister register!"
+
+    def act(fn, needs_twister=False, twister_msg=MSG_METRIC):
         if needs_twister and meta["twister_loads"] == 0:
-            raise ParseError(
-                "This action requires a twister in the twister register"
-            )
+            raise ParseError(twister_msg)
         program.append(fn)
 
     p = Parser("KPopTwistDB", "[ACTIONS]")
@@ -173,6 +180,7 @@ def main(argv=None) -> int:
                 )
             ),
             needs_twister=True,
+            twister_msg=MSG_KMERS,
         ))(a.get().split(",")),
     )
     # hidden: profile the three phases of spectrum projection
