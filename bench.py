@@ -974,53 +974,64 @@ def _supervise() -> int:
 
 def _cache_probe(here: str, timeout_s: float = 1500.0) -> None:
     """Cross-process compile-cache record (VERDICT r3 #9): rerun ONLY the
-    CA fit in a fresh process right after the main child populated the
-    persistent compilation cache; the wall distinguishes cold vs
-    cross-process-warm.  Merged into BENCH_DETAILS.json."""
+    CA fit in fresh processes right after the main child populated the
+    persistent compilation cache; the walls distinguish cold vs
+    cross-process-warm.  Repeated (budget permitting, VERDICT r4 #6) so a
+    single tunnel-weather sample cannot flip the story.  Merged into
+    BENCH_DETAILS.json."""
     import subprocess
 
-    time.sleep(20)  # the finished child may hold the chip briefly
-    env = dict(
-        os.environ,
-        KPOP_BENCH_CHILD="1",
-        KPOP_BENCH_CA_ONLY="1",
-        KPOP_BENCH_SKIP_LARGEK="1",
-        KPOP_BENCH_SKIP_TUNNEL="1",
-        KPOP_CA_DEBUG="1",  # per-phase walls separate compile vs transfer
-    )
-    try:
-        res = subprocess.run(
-            [sys.executable, here], env=env,
-            timeout=max(30.0, timeout_s - 20.0),
-            capture_output=True, text=True,
+    t_start = time.monotonic()
+    walls, phases = [], {}
+    for rep in range(2):
+        remaining = timeout_s - (time.monotonic() - t_start)
+        if remaining < (40.0 if rep == 0 else 120.0):
+            break  # a repeat only helps if it has a realistic budget
+        time.sleep(20)  # the finished child may hold the chip briefly
+        env = dict(
+            os.environ,
+            KPOP_BENCH_CHILD="1",
+            KPOP_BENCH_CA_ONLY="1",
+            KPOP_BENCH_SKIP_LARGEK="1",
+            KPOP_BENCH_SKIP_TUNNEL="1",
+            KPOP_CA_DEBUG="1",  # per-phase walls split compile vs transfer
         )
-    except subprocess.TimeoutExpired:
-        sys.stderr.write("bench: cache probe timed out (skipped)\n")
+        try:
+            res = subprocess.run(
+                [sys.executable, here], env=env,
+                timeout=max(30.0, remaining - 25.0),
+                capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("bench: cache probe timed out (skipped)\n")
+            break
+        line = next(
+            (l for l in res.stdout.splitlines() if l.startswith("{")), None
+        )
+        if res.returncode != 0 or not line:
+            sys.stderr.write(
+                "bench: cache probe failed rc=%d: %s\n"
+                % (res.returncode, res.stderr[-300:])
+            )
+            break
+        walls.append(json.loads(line)["ca_only_wall_s"])
+        # KPOP_CA_DEBUG phase lines, e.g. "ca_fit_sharded[gram]: 12.34 s"
+        phases = dict(
+            m.groups()
+            for m in __import__("re").finditer(
+                r"ca_fit_sharded\[([\w+-]+)\]: ([\d.]+) s", res.stderr
+            )
+        )
+    if not walls:
         return
-    line = next(
-        (l for l in res.stdout.splitlines() if l.startswith("{")), None
-    )
-    if res.returncode != 0 or not line:
-        sys.stderr.write(
-            "bench: cache probe failed rc=%d: %s\n"
-            % (res.returncode, res.stderr[-300:])
-        )
-        return
-    probe = json.loads(line)
-    # KPOP_CA_DEBUG phase lines, e.g. "ca_fit_sharded[gram]: 12.34 s"
-    phases = dict(
-        m.groups()
-        for m in __import__("re").finditer(
-            r"ca_fit_sharded\[([\w+-]+)\]: ([\d.]+) s", res.stderr
-        )
-    )
     try:
         with open(DETAILS_PATH) as f:
             details = json.load(f)
     except (OSError, ValueError):
         details = {}
     details["ca_train_cross_process_warm"] = {
-        "wall_s": probe["ca_only_wall_s"],
+        "wall_s": min(walls),
+        "wall_s_repeats": walls,
         "wall_s_cold_same_session": details.get("ca_train", {}).get(
             "wall_s_cold"
         ),
