@@ -62,6 +62,7 @@ CARRY_KEYS = (
     "large_vocab_serving",
     "train_to_serve_handoff",
     "ca_train_cross_process_warm",
+    "cli_serving",
     "device_only_seqs_per_s_f32",
     "device_only_seqs_per_s_bf16",
     "bf16_top1_matches_f32",
@@ -836,6 +837,41 @@ def main() -> None:
         _bench_relatedness(details, log)
         _flush_details(details, prev_details)
 
+    # ---- trained artifacts for the REAL-CLI probe: the supervisor runs
+    # bin/kpop-classify against these after this child frees the chip
+    # (only one process can hold the TPU), timing the production user
+    # surface end to end (VERDICT r4: serving claims should be backed by
+    # the real CLI, not only the bench's inlined pipeline) ----
+    if (
+        os.environ.get("KPOP_PLATFORM") != "cpu"
+        and not os.environ.get("KPOP_BENCH_SKIP_CLI")
+    ):
+        import shutil
+
+        cli_dir = os.path.join(REPO, ".bench_cli")
+        shutil.rmtree(cli_dir, ignore_errors=True)
+        os.makedirs(cli_dir)
+        log("writing CLI-probe artifacts (trained twister + eval FASTA)")
+        pfx = os.path.join(cli_dir, "Trained")
+        twister.to_binary(pfx)
+        KPopMatrix(
+            MatrixType.TWISTED,
+            NamedMatrix(["C%d" % i for i in range(C)], dim_names, coords),
+        ).to_binary(pfx)
+        with open(os.path.join(cli_dir, "eval.fasta"), "wb") as f:
+            for bi, (tr, pl) in enumerate(eval_batches):
+                lines = pl.split(b"\n")
+                for ri in range(len(tr)):
+                    f.write(b">b%di%d-C%d\n" % (bi, ri, tr[ri]))
+                    f.write(lines[2 * ri + 1] + b"\n")
+        details["cli_artifacts"] = {
+            "dir": cli_dir,
+            "n_seqs": total,
+            "batch": B,
+            "k": k,
+        }
+        _flush_details(details, prev_details)
+
     if not os.environ.get("KPOP_BENCH_SKIP_LARGEK"):
         _bench_large_k_counting(details, log)
     if not os.environ.get("KPOP_BENCH_SKIP_TUNNEL"):
@@ -969,7 +1005,85 @@ def _supervise() -> int:
         and remaining() > 240.0
     ):
         _cache_probe(here, timeout_s=remaining() - 30.0)
+    if remaining() > 300.0:
+        _cli_probe(timeout_s=remaining() - 20.0)
     return 0
+
+
+def _cli_probe(timeout_s: float) -> None:
+    """Time the REAL production surface: bin/kpop-classify with the
+    trained artifacts the bench child saved (.bench_cli/).  Runs in the
+    supervisor after the child exits because only one process can hold
+    the chip.  The wall includes process startup, the 1.5 GB twister
+    binary load, params build + upload, jit compile, and the pipelined
+    serve loop over every held-out read set."""
+    import shutil
+    import subprocess
+
+    try:
+        with open(DETAILS_PATH) as f:
+            details = json.load(f)
+    except (OSError, ValueError):
+        return
+    art = details.get("cli_artifacts")
+    if not art or not os.path.isdir(art.get("dir", "")):
+        return
+    cli_dir = art["dir"]
+    pfx = os.path.join(cli_dir, "Trained")
+    out_pfx = os.path.join(cli_dir, "Pred")
+    time.sleep(20)  # the finished child/probe may hold the chip briefly
+    cmd = [
+        sys.executable, os.path.join(REPO, "bin", "kpop-classify"),
+        "-T", pfx, "-t", pfx,
+        "-f", os.path.join(cli_dir, "eval.fasta"),
+        "-o", out_pfx,
+        "--batch", str(art["batch"]), "-k", str(art["k"]),
+    ]
+    t0 = time.perf_counter()
+    try:
+        res = subprocess.run(
+            cmd, timeout=max(60.0, timeout_s - 25.0),
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("bench: CLI probe timed out (skipped)\n")
+        return
+    wall = time.perf_counter() - t0
+    if res.returncode != 0:
+        sys.stderr.write(
+            "bench: CLI probe failed rc=%d: %s\n"
+            % (res.returncode, res.stderr[-300:])
+        )
+        return
+    n_ok = n_all = 0
+    with open(out_pfx + ".KPopSummary.txt") as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            n_all += 1
+            n_ok += fields[0].rsplit("-", 1)[1] == fields[5]
+    details.pop("cli_artifacts", None)
+    details["cli_serving"] = {
+        "n_seqs": n_all,
+        "wall_s": round(wall, 2),
+        "seqs_per_s_incl_startup": round(n_all / wall, 1),
+        "top1_accuracy": round(n_ok / max(n_all, 1), 4),
+        "note": "bin/kpop-classify (the real user surface) on the bench "
+                "session's trained artifacts and held-out read sets; wall "
+                "includes interpreter startup, the float64 twister binary "
+                "load, params build + tunnel upload, jit compile and the "
+                "one-batch-in-flight serve loop.  Steady-state rate is the "
+                "serving_e2e record; this one bounds cold start-to-answer",
+    }
+    tmp = DETAILS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(details, f, indent=1, sort_keys=True)
+    os.replace(tmp, DETAILS_PATH)
+    _regen_tables()
+    shutil.rmtree(cli_dir, ignore_errors=True)
+    sys.stderr.write(
+        "bench: CLI probe %.1f s, %.1f seqs/s incl. startup, top-1 %.3f\n"
+        % (wall, n_all / wall, n_ok / max(n_all, 1))
+    )
 
 
 def _cache_probe(here: str, timeout_s: float = 1500.0) -> None:
