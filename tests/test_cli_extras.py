@@ -542,3 +542,56 @@ def test_classify_project_path_bag_matches_dense(tmp_path):
             assert abs(float(fa) - float(fb)) < 2e-4 * max(
                 1.0, abs(float(fb))
             )
+
+
+def test_classify_shape_buckets_mixed_lengths(tmp_path):
+    """The serve loop buckets jit shapes (widths rounded up to 512, rows
+    padded to the full batch): a stream with mixed/growing read lengths
+    and a short tail batch must produce the same per-sequence summaries
+    as classifying everything in one batch."""
+    rng = np.random.default_rng(5)
+    bases = np.array(list("ACGT"))
+
+    def mut(g, n):
+        g = g.copy()
+        pos = rng.choice(len(g), size=n, replace=False)
+        g[pos] = (g[pos] + rng.integers(1, 4, size=n)) % 4
+        return g
+
+    from kpop_tpu.core.count import spectrum_of_sequences
+    from kpop_tpu.core.counter_db import CounterDB
+    from kpop_tpu.core.kmers import KmerSpace
+
+    space = KmerSpace("DNA-ds", 5)
+    fams = [rng.integers(0, 4, size=600) for _ in range(3)]
+    db = CounterDB()
+    for fi, f in enumerate(fams):
+        seqs = ["".join(bases[mut(f, 8)]) for _ in range(3)]
+        codes, counts = spectrum_of_sequences(space, seqs)
+        db.add_spectra_stream(io.StringIO(
+            "\tF%d\n" % fi + "".join(
+                "%s\t%d\n" % (space.code_to_hex(int(c)), v)
+                for c, v in zip(codes, counts))))
+    db.to_binary(str(tmp_path / "DB"))
+    sh("kpop-twist -i DB -o TW", tmp_path)
+    # 7 queries of growing lengths (crossing several 512-buckets) -> with
+    # --batch 2: three full batches + a 1-row tail
+    lens = [300, 350, 800, 900, 1500, 200, 2100]
+    recs = []
+    for i, L in enumerate(lens):
+        g = mut(fams[i % 3], 6)
+        g = np.tile(g, -(-L // len(g)))[:L]
+        recs.append(">q%d-F%d\n%s" % (i, i % 3, "".join(bases[g])))
+    (tmp_path / "q.fasta").write_text("\n".join(recs) + "\n")
+    sh("kpop-classify -T TW -t TW -f q.fasta --batch 2 -o Chunked", tmp_path)
+    sh("kpop-classify -T TW -t TW -f q.fasta --batch 100 -o Whole", tmp_path)
+    a = sorted((tmp_path / "Chunked.KPopSummary.txt").read_text().splitlines())
+    b = sorted((tmp_path / "Whole.KPopSummary.txt").read_text().splitlines())
+    assert len(a) == len(b) == len(lens)
+    for la, lb in zip(a, b):
+        pa, pb = la.split("\t"), lb.split("\t")
+        assert pa[0] == pb[0] and pa[5] == pb[5], (la, lb)
+        for fa, fb in zip(pa[1:5], pb[1:5]):
+            assert abs(float(fa) - float(fb)) < 1e-4 * max(
+                1.0, abs(float(fb))
+            )
