@@ -50,7 +50,7 @@ def _child(n_dev: int) -> None:
     jax = jax_setup()
     import jax.numpy as jnp
 
-    from kpop_tpu.parallel.mesh import DATA_AXIS, make_mesh
+    from kpop_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS, make_mesh
     from kpop_tpu.parallel.sharded import ca_fit_sharded
     from kpop_tpu.parallel.serving import (
         shard_classifier_params,
@@ -65,9 +65,11 @@ def _child(n_dev: int) -> None:
     # ---- sharded CA (dd + compact wire), warm ----
     table = rng.integers(0, 40, size=(CA_ROWS, CA_COLS)).astype(np.int32)
     ca_fit_sharded(mesh, table)  # compile + first run
-    t0 = time.perf_counter()
-    coords, inertia, _tw, _sv = ca_fit_sharded(mesh, table)
-    ca_s = time.perf_counter() - t0
+    ca_s = float("inf")  # min over reps: shared-host walls are noisy
+    for _ in range(3):
+        t0 = time.perf_counter()
+        coords, inertia, _tw, _sv = ca_fit_sharded(mesh, table)
+        ca_s = min(ca_s, time.perf_counter() - t0)
 
     # ---- kmer-sharded serving, warm ----
     k = 10
@@ -88,28 +90,44 @@ def _child(n_dev: int) -> None:
         k=k,
         canonical=True,
     )
-    sharded, v_glob = shard_classifier_params(params, mesh)
-    fn = sharded_dmat_fn(mesh, v_glob)
     batch = rng.integers(0, 4, size=(B, L)).astype(np.int8)
-    pad = (-B) % mesh.shape[DATA_AXIS]
-    if pad:
-        batch = np.concatenate(
-            [batch, np.full((pad, L), -1, np.int8)]
-        )
     bd = jnp.asarray(batch)
-    jax.block_until_ready(fn(sharded, bd))  # compile + first run
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = fn(sharded, bd)
-    jax.block_until_ready(out)
-    serve_s = (time.perf_counter() - t0) / 3
-    print(json.dumps({
+    def _serve_warm(mesh_):
+        sharded_, v_glob_ = shard_classifier_params(params, mesh_)
+        fn_ = sharded_dmat_fn(mesh_, v_glob_)
+        bd_ = bd
+        pad_ = (-bd.shape[0]) % mesh_.shape[DATA_AXIS]
+        if pad_:
+            bd_ = jnp.concatenate(
+                [bd, jnp.full((pad_, L), -1, jnp.int8)]
+            )
+        jax.block_until_ready(fn_(sharded_, bd_))  # compile + first run
+        best = float("inf")
+        for _ in range(3):  # min of three 3-batch reps
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = fn_(sharded_, bd_)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / 3)
+        return best
+
+    serve_s = _serve_warm(mesh)
+    record = {
         "n_devices": n_dev,
         "mesh": dict(mesh.shape),
         "host_cpus": os.cpu_count(),
         "ca_warm_s": round(ca_s, 3),
         "serving_warm_s_per_batch": round(serve_s, 4),
-    }))
+    }
+    if mesh.shape[KMER_AXIS] > 1:
+        # same device count, pure data-parallel mesh: identical thread
+        # contention, so serving_warm / serving_dp_warm isolates the
+        # kmer-sharding collective overhead from the shared-host noise
+        dp_mesh = make_mesh(n_dev, data_parallel=n_dev)
+        record["serving_dp_warm_s_per_batch"] = round(
+            _serve_warm(dp_mesh), 4
+        )
+    print(json.dumps(record))
 
 
 def main(device_counts=(1, 2, 4, 8), out_path=None, repeats=3) -> dict:
@@ -160,6 +178,16 @@ def main(device_counts=(1, 2, 4, 8), out_path=None, repeats=3) -> dict:
             round(p["serving_warm_s_per_batch"] / base_sv, 3)
             for p in points
         ],
+        # contention-invariant sharding-overhead ratio: kmer-sharded mesh
+        # vs pure data-parallel mesh at the SAME device count (both sides
+        # measured in the same child process) — <=1.0 means kmer-sharding
+        # costs nothing over data-parallel at these shapes
+        "serving_vs_dp_same_devices": {
+            str(p["n_devices"]): round(
+                p["serving_warm_s_per_batch"]
+                / p["serving_dp_warm_s_per_batch"], 3)
+            for p in points if "serving_dp_warm_s_per_batch" in p
+        },
     }
     if out_path:
         with open(out_path, "w") as f:

@@ -57,7 +57,7 @@ class Progress:
         self.stream = stream if stream is not None else sys.stderr
         self.min_interval = min_interval
         self._done = 0
-        self._last = 0.0
+        self._last = None  # None = nothing emitted yet: first emit always goes
         self._wrote = False
 
     def _line(self) -> str:
@@ -74,7 +74,11 @@ class Progress:
         if not self.enabled:
             return
         now = time.monotonic()
-        if not force and now - self._last < self.min_interval:
+        if (
+            not force
+            and self._last is not None
+            and now - self._last < self.min_interval
+        ):
             return
         self._last = now
         try:
