@@ -49,6 +49,13 @@ import numpy as np
 BASELINE_SEQS_PER_S = 13.0  # reference README.md:1049 (~650K seqs / 14 h)
 REPO = os.path.dirname(os.path.abspath(__file__))
 DETAILS_PATH = os.path.join(REPO, "BENCH_DETAILS.json")
+# Trained-artifact cache: the corpus is deterministic (seeded), so a prior
+# successful CA fit's outputs can serve a retry that would otherwise stall
+# in the CA compile/upload under bad tunnel weather (the retry still
+# re-validates held-out accuracy, which would catch any artifact mismatch).
+ART_CACHE = os.path.expanduser(
+    os.environ.get("KPOP_BENCH_ART_CACHE", "~/.cache/kpop_bench_artifacts")
+)
 
 # Detail records a killed/thin run may not (re)produce: carried forward from
 # the committed BENCH_DETAILS.json so a thin retry cannot DROP rich records
@@ -408,7 +415,10 @@ def main() -> None:
     L = 30_000  # SARS-CoV-2-scale genome length
     n_batches = int(os.environ.get("KPOP_BENCH_BATCHES", "12"))
     details: dict = {"workload": {"k": k, "classes": C, "genome_len": L,
-                                  "batch": B, "n_batches": n_batches}}
+                                  "batch": B, "n_batches": n_batches},
+                     # records-integrity: a CPU-fallback child must not
+                     # leave walls that read as TPU numbers (r5 lesson)
+                     "platform": jax.default_backend()}
 
     def log(msg):
         sys.stderr.write("bench[%7.1fs]: %s\n" % (time.perf_counter() - T0, msg))
@@ -442,31 +452,65 @@ def main() -> None:
     # — as col_weights, so the integer count table rides the compact wire path
     csums = table.sum(axis=0)
     col_w = 1.0 / np.where(csums == 0.0, 1.0, csums)
-    log("CA training (cold, incl. compile + transfers)")
-    t0 = time.perf_counter()
-    coords, inertia, twister_mat, sv = ca_fit_sharded(
-        mesh, table, col_weights=col_w
-    )
-    ca_cold_s = time.perf_counter() - t0
     from kpop_tpu.parallel import sharded as _sharded
 
-    log("CA cold done %.1fs (wire=%s)" % (ca_cold_s, _sharded.LAST_DD_UPLOAD))
-    details["ca_train"] = {
-        "table_shape": list(table.shape),
-        "wall_s_cold": round(ca_cold_s, 3),
-        "wire": _sharded.LAST_DD_UPLOAD,
-        "note": "sharded dd CA: compact exact-count upload, on-device "
-                "double-double residual reconstruction, dd-Gram compile, "
-                "host f64 eigh, device phi matmul + download of the "
-                "[K, d] twister",
-    }
+    art_path = os.path.join(
+        ART_CACHE, "k%d_C%d_L%d_V%d.npz" % (k, C, L, table.shape[0])
+    )
+    if os.environ.get("KPOP_BENCH_REUSE_TRAINED") and os.path.isfile(art_path):
+        # bad-weather retry: the CA compile/upload is the phase that
+        # outruns the budget, and the corpus (seed 0) is deterministic —
+        # load the prior fit and let the full held-out accuracy pass
+        # (below) re-validate it; the serving number stays a true
+        # measurement on this platform
+        art = np.load(art_path)
+        coords, inertia, twister_mat, sv = (
+            art["coords"], art["inertia"], art["twister"], art["sv"]
+        )
+        log("CA fit REUSED from %s (bad-weather retry)" % art_path)
+        details["ca_train"] = {
+            "table_shape": list(table.shape),
+            "reused_trained_artifacts": art_path,
+            "note": "CA fit reused from a prior session on the identical "
+                    "deterministic corpus (bad-weather retry; held-out "
+                    "accuracy below re-validates the artifacts). No "
+                    "CA wall measured this session",
+        }
+    else:
+        log("CA training (cold, incl. compile + transfers)")
+        t0 = time.perf_counter()
+        coords, inertia, twister_mat, sv = ca_fit_sharded(
+            mesh, table, col_weights=col_w
+        )
+        ca_cold_s = time.perf_counter() - t0
+        log("CA cold done %.1fs (wire=%s)"
+            % (ca_cold_s, _sharded.LAST_DD_UPLOAD))
+        details["ca_train"] = {
+            "table_shape": list(table.shape),
+            "wall_s_cold": round(ca_cold_s, 3),
+            "wire": _sharded.LAST_DD_UPLOAD,
+            "note": "sharded dd CA: compact exact-count upload, on-device "
+                    "double-double residual reconstruction, dd-Gram compile, "
+                    "host f64 eigh, device phi matmul + download of the "
+                    "[K, d] twister",
+        }
+        if not os.environ.get("KPOP_BENCH_CA_ONLY"):
+            try:
+                os.makedirs(ART_CACHE, exist_ok=True)
+                np.savez(
+                    art_path + ".tmp.npz", coords=coords, inertia=inertia,
+                    twister=twister_mat.astype(np.float32), sv=sv,
+                )
+                os.replace(art_path + ".tmp.npz", art_path)
+            except OSError as exc:
+                log("artifact cache save failed: %s" % exc)
     if os.environ.get("KPOP_BENCH_CA_ONLY"):
         # cross-process compile-cache probe (run by _supervise after the
         # main child): same shape, fresh process — the wall difference vs
         # the main child's wall_s_cold is what the persistent compilation
         # cache (~/.cache/kpop_jax_cache) absorbs across processes
         print(json.dumps({
-            "ca_only_wall_s": round(ca_cold_s, 3),
+            "ca_only_wall_s": details["ca_train"].get("wall_s_cold"),
             "table_shape": list(table.shape),
         }))
         return
@@ -705,7 +749,7 @@ def main() -> None:
     pred_dev = jax.device_get(encode_and_dispatch(params_dev))
     details["train_to_serve_handoff"] = {
         "ca_wall_s": round(handoff_s, 3),
-        "vs_host_twister_ca_wall_s": details["ca_train"]["wall_s_cold"],
+        "vs_host_twister_ca_wall_s": details["ca_train"].get("wall_s_cold"),
         "pred_matches": float(
             (np.asarray(pred_dev[0])[:, 0] == np.asarray(first[0])[:, 0]).mean()
         ),
@@ -971,6 +1015,10 @@ def _supervise() -> int:
         "KPOP_BENCH_SKIP_RELATEDNESS": "1",
         "KPOP_BENCH_SKIP_LARGEK": "1",
         "KPOP_BENCH_SKIP_TUNNEL": "1",
+        # skip the CA fit if a prior session's artifacts exist — under
+        # bad tunnel weather the CA compile/upload is what outran
+        # attempt 1, and the retry re-validates held-out accuracy anyway
+        "KPOP_BENCH_REUSE_TRAINED": "1",
     }
     # Attempt 1 (full): must headline before the point that still leaves
     # room for a thin retry + CPU fallback; on success it may keep running
