@@ -108,6 +108,13 @@ def _flush_details(details: dict, prev: dict) -> None:
             val = prev[key]
             if isinstance(val, dict):
                 val = dict(val, carried_from_previous_session=True)
+                # keep platform provenance through the carry chain: a
+                # record first written by a CPU-fallback session must not
+                # launder into a TPU session's artifact unlabelled
+                if "carried_from_platform" not in val:
+                    val["carried_from_platform"] = prev.get(
+                        "platform", "unknown"
+                    )
             merged[key] = val
             carried.append(key)
     if carried:
@@ -464,9 +471,10 @@ def main() -> None:
         # (below) re-validate it; the serving number stays a true
         # measurement on this platform
         art = np.load(art_path)
-        coords, inertia, twister_mat, sv = (
+        coords, inertia, twister_host, sv = (
             art["coords"], art["inertia"], art["twister"], art["sv"]
         )
+        phi_dev = None
         log("CA fit REUSED from %s (bad-weather retry)" % art_path)
         details["ca_train"] = {
             "table_shape": list(table.shape),
@@ -477,12 +485,19 @@ def main() -> None:
                     "CA wall measured this session",
         }
     else:
-        log("CA training (cold, incl. compile + transfers)")
+        # phi="device": the trained twister STAYS sharded on the chip (the
+        # production train-to-serve handoff) — serving params are built
+        # from the device-resident matrix, so the [K, d] twister download
+        # (~0.7 GB; tens of minutes at bad tunnel weather) is NOT on the
+        # headline's critical path.  The host twister is downloaded in a
+        # best-effort detail phase below (CLI artifacts + artifact cache).
+        log("CA training (cold, incl. compile + transfers; phi=device)")
         t0 = time.perf_counter()
-        coords, inertia, twister_mat, sv = ca_fit_sharded(
-            mesh, table, col_weights=col_w
+        coords, inertia, phi_dev, sv = ca_fit_sharded(
+            mesh, table, col_weights=col_w, phi="device"
         )
         ca_cold_s = time.perf_counter() - t0
+        twister_host = None
         log("CA cold done %.1fs (wire=%s)"
             % (ca_cold_s, _sharded.LAST_DD_UPLOAD))
         details["ca_train"] = {
@@ -491,19 +506,10 @@ def main() -> None:
             "wire": _sharded.LAST_DD_UPLOAD,
             "note": "sharded dd CA: compact exact-count upload, on-device "
                     "double-double residual reconstruction, dd-Gram compile, "
-                    "host f64 eigh, device phi matmul + download of the "
-                    "[K, d] twister",
+                    "host f64 eigh, device phi matmul; the twister stays "
+                    "device-resident (phi='device', the production "
+                    "train-to-serve handoff — no [K, d] download)",
         }
-        if not os.environ.get("KPOP_BENCH_CA_ONLY"):
-            try:
-                os.makedirs(ART_CACHE, exist_ok=True)
-                np.savez(
-                    art_path + ".tmp.npz", coords=coords, inertia=inertia,
-                    twister=twister_mat.astype(np.float32), sv=sv,
-                )
-                os.replace(art_path + ".tmp.npz", art_path)
-            except OSError as exc:
-                log("artifact cache save failed: %s" % exc)
     if os.environ.get("KPOP_BENCH_CA_ONLY"):
         # cross-process compile-cache probe (run by _supervise after the
         # main child): same shape, fresh process — the wall difference vs
@@ -516,21 +522,59 @@ def main() -> None:
         return
 
     # ---- trained artifacts -> serving parameters ----
+    from kpop_tpu.core.space import (
+        Distance as _Dist,
+        Metric,
+        normalizations,
+    )
+    from kpop_tpu.ops.pipeline import ClassifierParams
+
     d = len(sv)
     dim_names = ["Dim%d" % (i + 1) for i in range(d)]
-    twister = Twister(
-        KPopMatrix(
-            MatrixType.TWISTER, NamedMatrix(dim_names, vocab_hex, twister_mat)
-        ),
-        KPopMatrix(
-            MatrixType.INERTIA,
-            NamedMatrix(["inertia"], dim_names, inertia[None, :]),
-        ),
+    inertia_kmat = KPopMatrix(
+        MatrixType.INERTIA,
+        NamedMatrix(["inertia"], dim_names, inertia[None, :]),
     )
-    params = build_classifier_params(space, twister, coords)
-    params_bf16 = build_classifier_params(
-        space, twister, coords, dtype=jnp.bfloat16
-    )
+    if twister_host is not None:
+        twister = Twister(
+            KPopMatrix(
+                MatrixType.TWISTER,
+                NamedMatrix(dim_names, vocab_hex, twister_host),
+            ),
+            inertia_kmat,
+        )
+        params = build_classifier_params(space, twister, coords)
+        params_bf16 = build_classifier_params(
+            space, twister, coords, dtype=jnp.bfloat16
+        )
+    else:
+        # device-resident twister: assemble params around it directly
+        # (what `kpop-twist --serve`-style handoff does); the metric and
+        # class geometry are host-small
+        mvec = Metric.of_string("powers(1,1,2)").compute(inertia)
+        cls_norms = normalizations(
+            _Dist.of_string("euclidean"), mvec, coords
+        )
+        kmer_codes = np.array(
+            [space.hex_to_code(h) for h in vocab_hex], dtype=np.int64
+        )
+        V = len(vocab_hex)
+        lut = np.full(space.n_kmers + 1, V, dtype=np.int32)
+        lut[kmer_codes] = np.arange(V, dtype=np.int32)
+
+        def _params_from_phi(phi):
+            return ClassifierParams(
+                vocab_lut=jnp.asarray(lut),
+                twister=phi,
+                metric=jnp.asarray(mvec, jnp.float32),
+                class_coords=jnp.asarray(coords.astype(np.float32)),
+                class_norms=jnp.asarray(cls_norms.astype(np.float32)),
+                k=k,
+                canonical=True,
+            )
+
+        params = _params_from_phi(phi_dev.astype(jnp.float32))
+        params_bf16 = _params_from_phi(phi_dev.astype(jnp.bfloat16))
     log("serving params built")
 
     # ---- serving payload: HELD-OUT tips as ART-shaped READ SETS ----
@@ -719,43 +763,54 @@ def main() -> None:
     details["device_only_seqs_per_s_f32"] = round(device_only(params, 20), 1)
     _flush_details(details, prev_details)
 
-    # train-to-serve handoff: retrain with the twister kept ON DEVICE
-    # (phi="device" skips the [K, d] download and the serving re-upload)
-    from kpop_tpu.core.space import Distance as _Dist, Metric, normalizations
-    from kpop_tpu.ops.pipeline import ClassifierParams
-
-    t0 = time.perf_counter()
-    c2, i2, phi_dev, sv2 = ca_fit_sharded(
-        mesh, table, phi="device", col_weights=col_w
-    )
-    handoff_s = time.perf_counter() - t0
-    mvec = twister.metrics_vector(Metric.of_string("powers(1,1,2)"))
-    cls_norms = normalizations(_Dist.of_string("euclidean"), mvec, c2)
-    kmer_codes = np.array(
-        [space.hex_to_code(h) for h in vocab_hex], dtype=np.int64
-    )
-    V = len(vocab_hex)
-    lut = np.full(space.n_kmers + 1, V, dtype=np.int32)
-    lut[kmer_codes] = np.arange(V, dtype=np.int32)
-    params_dev = ClassifierParams(
-        vocab_lut=jnp.asarray(lut),
-        twister=phi_dev,
-        metric=jnp.asarray(mvec, jnp.float32),
-        class_coords=jnp.asarray(c2.astype(np.float32)),
-        class_norms=jnp.asarray(cls_norms.astype(np.float32)),
-        k=k,
-        canonical=True,
-    )
-    pred_dev = jax.device_get(encode_and_dispatch(params_dev))
-    details["train_to_serve_handoff"] = {
-        "ca_wall_s": round(handoff_s, 3),
-        "vs_host_twister_ca_wall_s": details["ca_train"].get("wall_s_cold"),
-        "pred_matches": float(
-            (np.asarray(pred_dev[0])[:, 0] == np.asarray(first[0])[:, 0]).mean()
-        ),
-        "note": "compiled CA rerun with the twister left device-resident; "
-                "the delta vs wall_s_cold is compile + the [K, d] download",
-    }
+    # host twister materialization: the headline served from the
+    # device-resident twister (phi='device', the production handoff); the
+    # reference-compatible host artifacts (CLI probe + the bad-weather
+    # retry cache) are paid for HERE, off the critical path, with the
+    # download timed, and served once to check host<->device parity.
+    if twister_host is None:
+        t0 = time.perf_counter()
+        # device phi is [K, d]; the host/reference convention is dims x
+        # kmers (lib/Twister.ml:28-51), the shape the artifact cache and
+        # the reuse path expect
+        twister_host = np.asarray(
+            jax.device_get(phi_dev), dtype=np.float64
+        ).T
+        down_s = time.perf_counter() - t0
+        try:
+            os.makedirs(ART_CACHE, exist_ok=True)
+            np.savez(
+                art_path + ".tmp.npz", coords=coords, inertia=inertia,
+                twister=twister_host.astype(np.float32), sv=sv,
+            )
+            os.replace(art_path + ".tmp.npz", art_path)
+        except OSError as exc:
+            log("artifact cache save failed: %s" % exc)
+        twister = Twister(
+            KPopMatrix(
+                MatrixType.TWISTER,
+                NamedMatrix(dim_names, vocab_hex, twister_host),
+            ),
+            inertia_kmat,
+        )
+        params_host = build_classifier_params(space, twister, coords)
+        pred_host = jax.device_get(encode_and_dispatch(params_host))
+        details["train_to_serve_handoff"] = {
+            "twister_download_s": round(down_s, 3),
+            "twister_mb_f32": round(twister_host.size * 4 / 2**20, 1),
+            "pred_matches": float(
+                (np.asarray(pred_host[0])[:, 0]
+                 == np.asarray(first[0])[:, 0]).mean()
+            ),
+            "note": "the headline trains and serves with the twister "
+                    "device-resident (no [K, d] transfer on the critical "
+                    "path); this record times the device->host download "
+                    "behind reference-compatible artifact export and "
+                    "checks that serving from the re-uploaded host copy "
+                    "predicts identically",
+        }
+        log("host twister exported %.1fs, parity %.3f"
+            % (down_s, details["train_to_serve_handoff"]["pred_matches"]))
 
     jax.device_get(encode_and_dispatch(params_bf16))  # compile bf16 variant
     details["device_only_seqs_per_s_bf16"] = round(
