@@ -126,6 +126,19 @@ def _flush_details(details: dict, prev: dict) -> None:
     _regen_tables()
 
 
+def _record_fresh(details: dict, key: str, value: dict) -> None:
+    """Install a freshly measured record, removing the key from the
+    carried_keys provenance list a child flush may have put it on (the
+    supervisor's probes run AFTER the child and would otherwise leave a
+    fresh record labelled as carried in the committed artifact)."""
+    details[key] = value
+    ck = [k for k in details.get("carried_keys", []) if k != key]
+    if ck:
+        details["carried_keys"] = ck
+    else:
+        details.pop("carried_keys", None)
+
+
 def _phylo():
     spec = importlib.util.spec_from_file_location(
         "kpop_bench_phylo", os.path.join(REPO, "tests", "data", "phylo.py")
@@ -1083,7 +1096,10 @@ def _supervise() -> int:
     ) else 20.0
     ok = run_attempt(
         {},
-        headline_by=t_start + min(700.0, budget - cpu_reserve - 380.0),
+        # clamp: a small KPOP_BENCH_BUDGET_S must shrink attempt 1, not
+        # make its deadline negative (which killed it on the first poll)
+        headline_by=t_start
+        + max(60.0, min(700.0, budget - cpu_reserve - 380.0)),
         # once the headline is out no CPU fallback is needed: detail
         # phases may use everything but the cache-probe reserve
         hard_by=deadline - probe_reserve,
@@ -1165,7 +1181,7 @@ def _cli_probe(timeout_s: float) -> None:
             n_all += 1
             n_ok += fields[0].rsplit("-", 1)[1] == fields[5]
     details.pop("cli_artifacts", None)
-    details["cli_serving"] = {
+    _record_fresh(details, "cli_serving", {
         "n_seqs": n_all,
         "wall_s": round(wall, 2),
         "seqs_per_s_incl_startup": round(n_all / wall, 1),
@@ -1176,7 +1192,7 @@ def _cli_probe(timeout_s: float) -> None:
                 "load, params build + tunnel upload, jit compile and the "
                 "one-batch-in-flight serve loop.  Steady-state rate is the "
                 "serving_e2e record; this one bounds cold start-to-answer",
-    }
+    })
     tmp = DETAILS_PATH + ".tmp"
     with open(tmp, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
@@ -1213,6 +1229,10 @@ def _cache_probe(here: str, timeout_s: float = 1500.0) -> None:
             KPOP_BENCH_SKIP_TUNNEL="1",
             KPOP_CA_DEBUG="1",  # per-phase walls split compile vs transfer
         )
+        # the probe MEASURES the CA fit: a supervisor-level
+        # KPOP_BENCH_REUSE_TRAINED must not leak in (the reuse branch has
+        # no wall and would record null)
+        env.pop("KPOP_BENCH_REUSE_TRAINED", None)
         try:
             res = subprocess.run(
                 [sys.executable, here], env=env,
@@ -1231,7 +1251,12 @@ def _cache_probe(here: str, timeout_s: float = 1500.0) -> None:
                 % (res.returncode, res.stderr[-300:])
             )
             break
-        walls.append(json.loads(line)["ca_only_wall_s"])
+        wall = json.loads(line)["ca_only_wall_s"]
+        if wall is None:  # reuse-branch child: no CA wall to record
+            sys.stderr.write("bench: cache probe child reused artifacts "
+                             "(no wall); skipped\n")
+            break
+        walls.append(wall)
         # KPOP_CA_DEBUG phase lines, e.g. "ca_fit_sharded[gram]: 12.34 s"
         phases = dict(
             m.groups()
@@ -1246,7 +1271,7 @@ def _cache_probe(here: str, timeout_s: float = 1500.0) -> None:
             details = json.load(f)
     except (OSError, ValueError):
         details = {}
-    details["ca_train_cross_process_warm"] = {
+    _record_fresh(details, "ca_train_cross_process_warm", {
         "wall_s": min(walls),
         "wall_s_repeats": walls,
         "wall_s_cold_same_session": details.get("ca_train", {}).get(
@@ -1263,7 +1288,7 @@ def _cache_probe(here: str, timeout_s: float = 1500.0) -> None:
                 "same-session run / 381 s probe minutes later).  Only "
                 "in-process jit reuse (the train_to_serve_handoff wall) "
                 "reliably avoids recompiles",
-    }
+    })
     tmp = DETAILS_PATH + ".tmp"
     with open(tmp, "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)

@@ -153,11 +153,20 @@ def main(device_counts=(1, 2, 4, 8), out_path=None, repeats=3) -> dict:
                 )
             p = json.loads(line)
             sys.stderr.write(f"scaling: {line}\n")
+            if "serving_dp_warm_s_per_batch" in p:
+                # the contention-invariance claim requires both sides of
+                # the ratio to come from the SAME child: keep the
+                # per-child ratio, then min over repeats below
+                p["serving_vs_dp"] = (
+                    p["serving_warm_s_per_batch"]
+                    / p["serving_dp_warm_s_per_batch"]
+                )
             if best is None:
                 best = p
             else:  # min over repeats: shared-host walls are noisy
-                for key in ("ca_warm_s", "serving_warm_s_per_batch"):
-                    best[key] = min(best[key], p[key])
+                for key, val in p.items():
+                    if isinstance(val, float):
+                        best[key] = min(best[key], val)
         points.append(best)
     base_ca = points[0]["ca_warm_s"]
     base_sv = points[0]["serving_warm_s_per_batch"]
@@ -179,14 +188,13 @@ def main(device_counts=(1, 2, 4, 8), out_path=None, repeats=3) -> dict:
             for p in points
         ],
         # contention-invariant sharding-overhead ratio: kmer-sharded mesh
-        # vs pure data-parallel mesh at the SAME device count (both sides
-        # measured in the same child process) — <=1.0 means kmer-sharding
-        # costs nothing over data-parallel at these shapes
+        # vs pure data-parallel mesh at the SAME device count, both sides
+        # measured in the same child process (per-child ratio, min over
+        # repeats) — <=1.0 means kmer-sharding costs nothing over
+        # data-parallel at these shapes
         "serving_vs_dp_same_devices": {
-            str(p["n_devices"]): round(
-                p["serving_warm_s_per_batch"]
-                / p["serving_dp_warm_s_per_batch"], 3)
-            for p in points if "serving_dp_warm_s_per_batch" in p
+            str(p["n_devices"]): round(p["serving_vs_dp"], 3)
+            for p in points if "serving_vs_dp" in p
         },
     }
     if out_path:

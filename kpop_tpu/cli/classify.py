@@ -336,7 +336,7 @@ def main(argv=None) -> int:
         # remote-compile tunnel can cost minutes: bucket both axes so a
         # short tail batch / varying read lengths reuse the compiled step.
         # -1 padding encodes a window break, so padded cells count nothing.
-        width_hist: list[int] = []
+        max_width = [0]  # widest bucket dispatched so far (never shrinks)
 
         def dispatch_seqs(seqs):
             """Encode and dispatch a batch; returns an ASYNC handle (the
@@ -350,9 +350,7 @@ def main(argv=None) -> int:
             n = codes.shape[0]
             w = max(codes.shape[1], space.k)
             w = -(-w // 512) * 512  # width bucket
-            if width_hist:
-                w = max(w, width_hist[-1])  # never shrink: reuse the widest
-            width_hist.append(w)
+            w = max_width[0] = max(w, max_width[0])  # reuse the widest
             rows = state["batch"] if n <= state["batch"] else n
             rows += (-rows) % max(pad_multiple, 1)
             codes = np.pad(

@@ -56,6 +56,13 @@ def save_sharded(path_prefix: str, arr: "jax.Array") -> None:
                 },
             )
             framed.write_terminator(f)
+        # re-saving the same prefix from FEWER processes must not leave
+        # stale higher-index shard files: their frames would double-cover
+        # (and could overwrite) the loader's target shards
+        stale = jax.process_count()
+        while os.path.exists(path_prefix + f".shard{stale}.kpopckpt"):
+            os.remove(path_prefix + f".shard{stale}.kpopckpt")
+            stale += 1
 
 
 def load_sharded(
@@ -81,13 +88,19 @@ def load_sharded(
     sharding = NamedSharding(mesh, spec)
 
     # index pass: (path, data_offset, saved dtype, start coords, frame shape)
+    # — exactly the shard files the metadata says the save wrote; a stale
+    # shard file from an earlier larger-process save must not be indexed
+    # (its frames could double-cover or overwrite target shards)
     index = []
     seen = set()  # replicated shards may repeat within or across files
-    p = 0
-    while True:
+    for p in range(int(meta.get("processes", 1))):
         shard_path = path_prefix + f".shard{p}.kpopckpt"
         if not os.path.exists(shard_path):
-            break
+            raise FileNotFoundError(
+                f"checkpoint {path_prefix!r}: metadata says "
+                f"{meta.get('processes')} shard files but "
+                f"{shard_path!r} is missing"
+            )
         with open(shard_path, "rb") as f:
             framed.read_header(f, expect_tag=TAG)
             for name, fdt, fshape, off in framed.iter_frames_meta(f):
@@ -97,7 +110,6 @@ def load_sharded(
                         int(x) for x in name[len("shard:"):].split(",")
                     )
                     index.append((shard_path, off, fdt, start, fshape))
-        p += 1
     if not index:
         raise FileNotFoundError(
             f"no shard files found for checkpoint {path_prefix!r}"

@@ -1,5 +1,7 @@
 """Input pipeline sharding and sharded checkpoints (virtual CPU mesh)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -129,6 +131,45 @@ def test_sharded_checkpoint_missing_shard_fatal(mesh, tmp_path):
     os.remove(shard_path)
     with pytest.raises(FileNotFoundError):
         load_sharded(prefix, mesh, spec)
+
+
+def test_sharded_checkpoint_stale_shard_files_ignored(mesh, tmp_path):
+    """Re-saving a prefix from fewer processes must not let an earlier
+    save's higher-index shard files corrupt (or fail) the load: the
+    loader reads exactly the shard files the metadata declares, and the
+    saver deletes stale ones beyond the current process count."""
+    import shutil
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kpop_tpu.config import jax_setup
+    from kpop_tpu.parallel.checkpoint import load_sharded, save_sharded
+    from kpop_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS
+
+    jax = jax_setup()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((16, 8)).astype(np.float32)
+    spec = P((DATA_AXIS, KMER_AXIS), None)
+    xs = jax.device_put(x, NamedSharding(mesh, spec))
+    prefix = str(tmp_path / "ck")
+    save_sharded(prefix, xs)
+    # plant a stale shard file as if an earlier save ran with 2 processes
+    # and stale garbage survived: frames overlap the real ones
+    shutil.copy(prefix + ".shard0.kpopckpt", prefix + ".shard1.kpopckpt")
+    with open(prefix + ".shard1.kpopckpt", "r+b") as f:
+        data = f.read()
+        f.seek(0)
+        # corrupt the stale copy's payload bytes so picking it up would
+        # be detectable (same frame names/shapes, different values)
+        f.write(data.replace(b"\x3f", b"\x3e"))
+    back = load_sharded(prefix, mesh, spec)
+    np.testing.assert_array_equal(np.asarray(back), x)
+    # the saver itself clears stale files on the next save
+    save_sharded(prefix, xs)
+    assert not os.path.exists(prefix + ".shard1.kpopckpt")
+    np.testing.assert_array_equal(
+        np.asarray(load_sharded(prefix, mesh, spec)), x
+    )
 
 
 def test_sharded_checkpoint_load_bounded_rss_5m():

@@ -34,8 +34,17 @@ def _run_child(n_dev: int) -> dict:
 
 def _best_of(n_dev: int, runs: int = 3) -> dict:
     """Min over repeated child runs: wall times on a shared CI host are
-    contention-noisy; the minimum is the stable contention-free estimate."""
+    contention-noisy; the minimum is the stable contention-free estimate.
+    The kmer-vs-dp ratio is computed PER CHILD first (both sides from the
+    same process — the contention-invariance the gate relies on), then
+    minned; minning the two walls independently would mix children."""
     results = [_run_child(n_dev) for _ in range(runs)]
+    for r in results:
+        if "serving_dp_warm_s_per_batch" in r:
+            r["serving_vs_dp"] = (
+                r["serving_warm_s_per_batch"]
+                / r["serving_dp_warm_s_per_batch"]
+            )
     best = dict(results[0])
     for r in results[1:]:
         for key in best:
@@ -63,7 +72,4 @@ def test_no_pathological_slowdown_at_8_devices():
     eight = _best_of(8)
     assert eight["mesh"] == {"data": 4, "kmer": 2}
     assert eight["ca_warm_s"] <= 1.5 * one["ca_warm_s"], (one, eight)
-    assert (
-        eight["serving_warm_s_per_batch"]
-        <= 1.2 * eight["serving_dp_warm_s_per_batch"]
-    ), eight
+    assert eight["serving_vs_dp"] <= 1.2, eight
